@@ -1,0 +1,122 @@
+"""Default configuration dictionaries for the simulator and TriFinger task.
+
+Key-compatible with the reference so existing configs port over unchanged:
+- sim defaults mirror ISAACGYM_DEFAULT_CONFIG_DICT (env_base.py:30-77)
+- task defaults mirror TRIFINGER_DEFAULT_CONFIG_DICT (trifinger_env.py:28-115)
+
+PhysX-only knobs that have no meaning on the TPU engine (gpu pipeline flags,
+thread counts, buffer sizes) are accepted and ignored; the ones that shape the
+integrator (dt, substeps, gravity, num_position_iterations,
+bounce_threshold_velocity, contact_offset) are honored.
+"""
+
+from __future__ import annotations
+
+SIM_DEFAULT_CONFIG_DICT = {
+    "seed": 0,
+    "num_instances": 1,
+    "spacing": 1.0,  # accepted for parity; env instances don't share a scene
+    "control_decimation": 1,
+    "episode_length": None,
+    "aggregate_mode": True,  # no-op on TPU
+    "physics_engine": "tpu",  # informational; single backend
+    "sim": {
+        "dt": 0.02,
+        "substeps": 2,
+        "up_axis": "z",
+        "gravity": [0.0, 0.0, -9.81],
+        "num_client_threads": 0,  # no-op
+        "use_gpu_pipeline": False,  # no-op
+        "physx": {
+            "solver_type": 1,
+            "num_position_iterations": 4,
+            "num_velocity_iterations": 0,
+            "num_threads": 4,  # no-op
+            "use_gpu": False,  # no-op
+            "num_subscenes": 0,  # no-op
+            "max_gpu_contact_pairs": 8 * 1024 * 1024,  # no-op
+            "contact_offset": 0.002,
+            "rest_offset": 0.0,
+            "bounce_threshold_velocity": 0.5,
+            "max_depenetration_velocity": 1000.0,
+        },
+    },
+}
+
+TRIFINGER_DEFAULT_CONFIG_DICT = {
+    "episode_length": 750,
+    "task_difficulty": 1,
+    "enable_ft_sensors": False,
+    "command_mode": "position",
+    "apply_safety_damping": True,
+    "asymmetric_obs": False,
+    "normalize_obs": True,
+    "normalize_action": True,
+    "reset_distribution": {
+        "robot_initial_state": {
+            "type": "default",
+            "dof_pos_stddev": 0.4,
+            "dof_vel_stddev": 0.2,
+        },
+        "object_initial_state": {
+            "type": "random",
+        },
+    },
+    "goal_movement": {
+        "rotation": {
+            "activate": False,
+            "rate_magnitude": 0.5,
+        },
+    },
+    "reward_terms": {
+        "finger_reach_object_rate": {
+            "activate": True,
+            "weight": -750,
+            "norm_p": 2,
+        },
+        "finger_move_penalty": {
+            "activate": True,
+            "weight": -0.1,
+        },
+        "object_dist": {
+            "activate": True,
+            "weight": 2000,
+        },
+        "object_rot": {
+            "activate": True,
+            "weight": 300,
+        },
+        "object_rot_delta": {
+            "activate": True,
+            "weight": -250,
+        },
+        "object_move": {
+            "activate": True,
+            "weight": -750,
+        },
+    },
+    "termination_conditions": {
+        "success": {
+            "activate": True,
+            "bonus": 5000.0,
+            "position_tolerance": 0.01,
+            "orientation_tolerance": 0.2,
+        }
+    },
+    # TPU-build extras ------------------------------------------------------
+    # "and" reproduces the reference dones semantics (env_base.py:399
+    # logical_and of reset & goal_reset — see SURVEY.md §3.2 warning);
+    # "or" is the arguably-intended fix.
+    "dones_mode": "and",
+    # domain randomization (reference dr/ package is an empty stub; these
+    # realize the randomization wish-list at trifinger_env.py:385-392)
+    "domain_randomization": {
+        "activate": False,
+        "cube_mass_scale": [0.8, 1.2],
+        "cube_size_scale": [0.97, 1.03],
+        "link_mass_scale": [0.9, 1.1],
+        "friction_scale": [0.7, 1.3],
+        "restitution_range": [0.0, 0.8],
+        "pd_gain_scale": [0.9, 1.1],
+    },
+}

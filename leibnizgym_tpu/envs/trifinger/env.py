@@ -1,0 +1,893 @@
+"""TriFinger environment: pure-functional MDP core + stateful wrapper.
+
+Capability parity with the reference ``TrifingerEnv``
+(/root/reference/leibnizgym/envs/trifinger/trifinger_env.py) re-designed for
+TPU: the IsaacGym stack of mutable gymtorch buffer views, indexed setters and
+refresh calls collapses into
+
+    env_step: (EnvStatic, EnvParams, EnvState, action) -> (EnvState, Transition)
+
+vmapped/batched over the env axis, jitted whole, and shardable along the env
+axis with jax.sharding. Resets are jnp.where masking (the functional
+replacement for set_*_tensor_indexed, reference trifinger_env.py:419-423).
+
+Reference quirks intentionally reproduced (SURVEY.md §7.3):
+- dones = reset & goal_reset (env_base.py:399 logical_and) under the default
+  ``dones_mode: "and"`` config.
+- On a reset step the fingertip "previous" state used by delta rewards is the
+  pre-reset fingertip state (the reference's history-zeroing is rotated out by
+  the post-step appendleft before rewards read it).
+- The ``robot_a``-labelled state slot carries applied joint torques
+  (trifinger_env.py:299 vs :1043-1047).
+- Reset envs take a zero action on their reset step (action buffer zeroing in
+  _reset_impl, trifinger_env.py:387).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from leibnizgym_tpu.envs.trifinger import sample as sampling
+from leibnizgym_tpu.envs.trifinger.config import (
+    SIM_DEFAULT_CONFIG_DICT,
+    TRIFINGER_DEFAULT_CONFIG_DICT,
+)
+from leibnizgym_tpu.envs.trifinger.dims import CuboidalObject, TrifingerDimensions
+from leibnizgym_tpu.envs.trifinger.rewards import (
+    RewardTermSpec,
+    build_reward_specs,
+    compute_rewards,
+)
+from leibnizgym_tpu.models import trifinger as tf_model
+from leibnizgym_tpu.ops.engine import physics_step
+from leibnizgym_tpu.ops.kinematics import (
+    MOUNT_ROTS,
+    all_tips_world,
+    tip_angular_velocity,
+    tip_jacobian,
+)
+from leibnizgym_tpu.ops.types import PhysicsState, SceneParams, SolverConfig
+from leibnizgym_tpu.utils import merged_dict, print_info
+from leibnizgym_tpu.utils.math import (
+    matrix_to_quat,
+    quat_diff_rad,
+    quat_integrate,
+    saturate,
+    scale_transform,
+    unscale_transform,
+)
+
+_dims = TrifingerDimensions
+
+
+# ---------------------------------------------------------------------------
+# Static (hashable) environment description — drives tracing/compilation
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvStatic:
+    num_envs: int
+    episode_length: int
+    task_difficulty: int
+    command_mode: str
+    normalize_obs: bool
+    normalize_action: bool
+    apply_safety_damping: bool
+    asymmetric_obs: bool
+    enable_ft_sensors: bool
+    robot_reset_type: str
+    robot_dof_pos_stddev: float
+    robot_dof_vel_stddev: float
+    object_reset_type: str
+    goal_rotation_active: bool
+    goal_rate_magnitude: float
+    termination_activate: bool
+    termination_bonus: float
+    position_tolerance: float
+    orientation_tolerance: float
+    dones_mode: str
+    control_decimation: int
+    dt: float
+    dr_activate: bool
+    reward_specs: Tuple[RewardTermSpec, ...]
+    solver: SolverConfig
+
+    @property
+    def action_dim(self) -> int:
+        return 18 if self.command_mode == "position_impedance" else 9
+
+    @property
+    def obs_dim(self) -> int:
+        return 9 + 9 + 7 + 7 + self.action_dim
+
+    @property
+    def state_dim(self) -> int:
+        if not self.asymmetric_obs:
+            return 0
+        return self.obs_dim + 6 + 3 * 13 + 9 + 3 * 6
+
+    def reward_spec_dict(self) -> Dict[str, RewardTermSpec]:
+        return {s.name: s for s in self.reward_specs}
+
+
+# ---------------------------------------------------------------------------
+# Parameter pytree (arrays the jitted fns close over as runtime inputs)
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class EnvParams:
+    obs_scale_low: jax.Array
+    obs_scale_high: jax.Array
+    state_scale_low: jax.Array
+    state_scale_high: jax.Array
+    action_scale_low: jax.Array
+    action_scale_high: jax.Array
+    pd_stiffness: jax.Array  # (9,)
+    pd_damping: jax.Array  # (9,)
+    safety_damping: jax.Array  # (9,)
+    torque_low: jax.Array  # (9,)
+    torque_high: jax.Array  # (9,)
+    dof_default_pos: jax.Array  # (9,)
+    dof_default_vel: jax.Array  # (9,)
+    # goal/object sampling geometry (CuboidalObject-derived)
+    max_com_distance: jax.Array  # ()
+    object_min_height: jax.Array  # ()
+    object_max_height: jax.Array  # ()
+    object_radius_3d: jax.Array  # ()
+    object_size_z: jax.Array  # ()
+    scene_base: SceneParams  # unbatched template for DR resampling
+
+
+@struct.dataclass
+class EnvState:
+    """Full environment state (batched over the env axis)."""
+
+    physics: PhysicsState  # (N, ...)
+    scene: SceneParams  # (N, ...) per-env physics params (DR surface)
+    goal_pose: jax.Array  # (N, 7)
+    goal_angvel: jax.Array  # (N, 3)
+    action_buf: jax.Array  # (N, A)
+    applied_torque: jax.Array  # (N, 9)
+    tip_wrench: jax.Array  # (N, 3, 6)
+    reset_buf: jax.Array  # (N,) bool
+    goal_reset_buf: jax.Array  # (N,) bool
+    steps_count: jax.Array  # (N,) int32
+    successes: jax.Array  # (N,) int32
+    fingertip_hist: jax.Array  # (N, 2, 3, 13), [*, 0] = t, [*, 1] = t-1
+    object_hist: jax.Array  # (N, 2, 13)
+    frames: jax.Array  # () int32 — simulator frame counter
+    key: jax.Array  # PRNG key
+
+
+# ---------------------------------------------------------------------------
+# Builders
+# ---------------------------------------------------------------------------
+
+
+def build_static(config: dict) -> EnvStatic:
+    rs = config["reset_distribution"]
+    term = config["termination_conditions"]["success"]
+    sim = config["sim"]
+    specs = build_reward_specs(config["reward_terms"])
+    solver = SolverConfig(
+        substeps=int(sim["substeps"]),
+        solver_iterations=int(sim["physx"]["num_position_iterations"]),
+    )
+    return EnvStatic(
+        num_envs=int(config["num_instances"]),
+        episode_length=int(config["episode_length"] or 0),
+        task_difficulty=int(config["task_difficulty"]),
+        command_mode=str(config["command_mode"]),
+        normalize_obs=bool(config["normalize_obs"]),
+        normalize_action=bool(config["normalize_action"]),
+        apply_safety_damping=bool(config["apply_safety_damping"]),
+        asymmetric_obs=bool(config["asymmetric_obs"]),
+        enable_ft_sensors=bool(config["enable_ft_sensors"] or config["asymmetric_obs"]),
+        robot_reset_type=str(rs["robot_initial_state"]["type"]),
+        robot_dof_pos_stddev=float(rs["robot_initial_state"]["dof_pos_stddev"]),
+        robot_dof_vel_stddev=float(rs["robot_initial_state"]["dof_vel_stddev"]),
+        object_reset_type=str(rs["object_initial_state"]["type"]),
+        goal_rotation_active=bool(config["goal_movement"]["rotation"]["activate"]),
+        goal_rate_magnitude=float(config["goal_movement"]["rotation"]["rate_magnitude"]),
+        termination_activate=bool(term["activate"]),
+        termination_bonus=float(term["bonus"]),
+        position_tolerance=float(term["position_tolerance"]),
+        orientation_tolerance=float(term["orientation_tolerance"]),
+        dones_mode=str(config.get("dones_mode", "and")),
+        control_decimation=int(config["control_decimation"]),
+        dt=float(sim["dt"]),
+        dr_activate=bool(config.get("domain_randomization", {}).get("activate", False)),
+        reward_specs=tuple(specs[name] for name in sorted(specs)),
+        solver=solver,
+    )
+
+
+def build_params(static: EnvStatic, object_dims: CuboidalObject) -> EnvParams:
+    """Assemble scale vectors exactly as __configure_mdp_spaces
+    (reference trifinger_env.py:630-748)."""
+    jpos_low = np.tile(tf_model.JOINT_POS_LOW, 3)
+    jpos_high = np.tile(tf_model.JOINT_POS_HIGH, 3)
+    jvel_low = np.full(9, -tf_model.MAX_VELOCITY_RADPS, np.float32)
+    jvel_high = np.full(9, tf_model.MAX_VELOCITY_RADPS, np.float32)
+    jtorque_low = np.full(9, -tf_model.MAX_TORQUE_NM, np.float32)
+    jtorque_high = np.full(9, tf_model.MAX_TORQUE_NM, np.float32)
+    obj_pos_low = np.array([-0.3, -0.3, 0.0], np.float32)
+    obj_pos_high = np.array([0.3, 0.3, 0.3], np.float32)
+    ori_low = -np.ones(4, np.float32)
+    ori_high = np.ones(4, np.float32)
+    stiffness_low = np.tile([1.0, 1.0, 1.0], 3).astype(np.float32)
+    stiffness_high = np.tile([50.0, 50.0, 50.0], 3).astype(np.float32)
+
+    if static.command_mode == "position":
+        act_low, act_high = jpos_low, jpos_high
+    elif static.command_mode == "torque":
+        act_low, act_high = jtorque_low, jtorque_high
+    elif static.command_mode == "position_impedance":
+        act_low = np.concatenate([jpos_low, stiffness_low])
+        act_high = np.concatenate([jpos_high, stiffness_high])
+    else:
+        raise ValueError(
+            f"Invalid command mode: {static.command_mode!r} not in "
+            "['torque', 'position', 'position_impedance']."
+        )
+
+    if static.normalize_action:
+        obs_act_low = np.full(static.action_dim, -1.0, np.float32)
+        obs_act_high = np.full(static.action_dim, 1.0, np.float32)
+    else:
+        obs_act_low, obs_act_high = act_low, act_high
+
+    obs_low = np.concatenate(
+        [jpos_low, jvel_low, obj_pos_low, ori_low, obj_pos_low, ori_low, obs_act_low]
+    )
+    obs_high = np.concatenate(
+        [jpos_high, jvel_high, obj_pos_high, ori_high, obj_pos_high, ori_high, obs_act_high]
+    )
+
+    if static.asymmetric_obs:
+        ftip_low = np.concatenate(
+            [np.array([-0.4, -0.4, 0.0]), ori_low, np.full(6, -0.2)]
+        ).astype(np.float32)
+        ftip_high = np.concatenate(
+            [np.array([0.4, 0.4, 0.5]), ori_high, np.full(6, 0.2)]
+        ).astype(np.float32)
+        obj_vel_low = np.full(6, -0.5, np.float32)
+        obj_vel_high = np.full(6, 0.5, np.float32)
+        wrench_low = np.full(6, -1.0, np.float32)
+        wrench_high = np.full(6, 1.0, np.float32)
+        state_low = np.concatenate(
+            [obs_low, obj_vel_low, np.tile(ftip_low, 3), jtorque_low, np.tile(wrench_low, 3)]
+        )
+        state_high = np.concatenate(
+            [obs_high, obj_vel_high, np.tile(ftip_high, 3), jtorque_high, np.tile(wrench_high, 3)]
+        )
+        assert state_low.shape[0] == static.state_dim
+    else:
+        state_low = np.zeros(0, np.float32)
+        state_high = np.zeros(0, np.float32)
+
+    assert obs_low.shape[0] == static.obs_dim
+    assert act_low.shape[0] == static.action_dim
+
+    return EnvParams(
+        obs_scale_low=jnp.asarray(obs_low),
+        obs_scale_high=jnp.asarray(obs_high),
+        state_scale_low=jnp.asarray(state_low),
+        state_scale_high=jnp.asarray(state_high),
+        action_scale_low=jnp.asarray(act_low),
+        action_scale_high=jnp.asarray(act_high),
+        pd_stiffness=jnp.asarray(np.tile(tf_model.PD_STIFFNESS, 3)),
+        pd_damping=jnp.asarray(np.tile(tf_model.PD_DAMPING, 3)),
+        safety_damping=jnp.asarray(np.tile(tf_model.SAFETY_DAMPING, 3)),
+        torque_low=jnp.asarray(jtorque_low),
+        torque_high=jnp.asarray(jtorque_high),
+        dof_default_pos=jnp.asarray(np.tile(tf_model.JOINT_POS_DEFAULT, 3)),
+        dof_default_vel=jnp.zeros(9),
+        max_com_distance=jnp.asarray(object_dims.max_com_distance_to_center),
+        object_min_height=jnp.asarray(object_dims.min_height),
+        object_max_height=jnp.asarray(object_dims.max_height),
+        object_radius_3d=jnp.asarray(object_dims.radius_3d),
+        object_size_z=jnp.asarray(object_dims.size[2]),
+        scene_base=SceneParams.default(),
+    )
+
+
+def _broadcast_scene(scene: SceneParams, n: int) -> SceneParams:
+    return jax.tree.map(lambda x: jnp.broadcast_to(x, (n,) + jnp.shape(x)), scene)
+
+
+# ---------------------------------------------------------------------------
+# Sampling (batched; masked application by callers)
+# ---------------------------------------------------------------------------
+
+
+def _sample_robot_state(static: EnvStatic, params: EnvParams, key: jax.Array, n: int):
+    q = jnp.broadcast_to(params.dof_default_pos, (n, 9))
+    qd = jnp.broadcast_to(params.dof_default_vel, (n, 9))
+    if static.robot_reset_type == "random":
+        noise = 2.0 * jax.random.uniform(key, (n, 18)) - 1.0
+        q = q + static.robot_dof_pos_stddev * noise[:, 0:9]
+        qd = qd + static.robot_dof_vel_stddev * noise[:, 9:18]
+    elif static.robot_reset_type not in ("default", "none"):
+        raise ValueError(
+            f"Invalid robot reset distribution: {static.robot_reset_type!r}"
+        )
+    return q, qd
+
+
+def _sample_object_state(static: EnvStatic, params: EnvParams, key: jax.Array, n: int):
+    if static.object_reset_type == "default":
+        pos = jnp.broadcast_to(
+            jnp.stack([jnp.zeros(()), jnp.zeros(()), params.object_min_height]), (n, 3)
+        )
+        quat = sampling.default_orientation(n)
+    elif static.object_reset_type in ("random", "none"):
+        k_xy, k_yaw = jax.random.split(key)
+        x, y = sampling.random_xy(k_xy, n, params.max_com_distance)
+        z = jnp.broadcast_to(params.object_size_z / 2, (n,))
+        pos = jnp.stack([x, y, z], axis=-1)
+        quat = sampling.random_yaw_orientation(k_yaw, n)
+    else:
+        raise ValueError(
+            f"Invalid object reset distribution: {static.object_reset_type!r}"
+        )
+    return jnp.concatenate([pos, quat, jnp.zeros((n, 6))], axis=-1)
+
+
+def _sample_goal_poses(static: EnvStatic, params: EnvParams, key: jax.Array, n: int):
+    """Per-difficulty goal sampling (reference trifinger_env.py:1194-1265)."""
+    k_xy, k_z, k_ori, k_av = jax.random.split(key, 4)
+    d = static.task_difficulty
+    if d == -1:
+        x, y = sampling.random_xy(k_xy, n, params.max_com_distance)
+        z = jnp.broadcast_to(params.object_size_z / 2, (n,))
+        ori = sampling.random_yaw_orientation(k_ori, n)
+    elif d == 1:
+        x, y = sampling.random_xy(k_xy, n, params.max_com_distance)
+        z = jnp.broadcast_to(params.object_size_z / 2, (n,))
+        ori = sampling.default_orientation(n)
+    elif d == 2:
+        x = jnp.zeros(n)
+        y = jnp.zeros(n)
+        z = jnp.broadcast_to(params.object_min_height + 0.05, (n,))
+        ori = sampling.default_orientation(n)
+    elif d == 3:
+        x, y = sampling.random_xy(k_xy, n, params.max_com_distance)
+        z = sampling.random_z(k_z, n, params.object_min_height, params.object_max_height)
+        ori = sampling.default_orientation(n)
+    elif d in (4, 5):
+        x, y = sampling.random_xy(k_xy, n, params.max_com_distance)
+        z = sampling.random_z(k_z, n, params.object_radius_3d, params.object_max_height)
+        ori = sampling.random_orientation(k_ori, n)
+    elif d == 6:
+        x = jnp.zeros(n)
+        y = jnp.zeros(n)
+        z = jnp.broadcast_to(params.object_min_height + 0.05, (n,))
+        ori = sampling.random_orientation(k_ori, n)
+    else:
+        raise ValueError(f"Invalid difficulty index for task: {d}.")
+    pose = jnp.concatenate([jnp.stack([x, y, z], axis=-1), ori], axis=-1)
+    if static.goal_rotation_active:
+        angvel = sampling.random_angular_vel(k_av, n, static.goal_rate_magnitude)
+    else:
+        angvel = jnp.zeros((n, 3))
+    return pose, angvel
+
+
+# ---------------------------------------------------------------------------
+# Torque pipeline (reference _pre_step, trifinger_env.py:442-498)
+# ---------------------------------------------------------------------------
+
+
+def compute_torque(
+    static: EnvStatic, params: EnvParams,
+    action_buf: jax.Array, q: jax.Array, qd: jax.Array,
+) -> jax.Array:
+    if static.normalize_action:
+        action_tf = unscale_transform(
+            action_buf, params.action_scale_low, params.action_scale_high
+        )
+    else:
+        action_tf = action_buf
+
+    if static.command_mode == "torque":
+        computed = action_tf
+    elif static.command_mode == "position":
+        computed = params.pd_stiffness * (action_tf - q) - params.pd_damping * qd
+    elif static.command_mode == "position_impedance":
+        desired = action_tf[..., 0:9]
+        stiffness = action_tf[..., 9:18]
+        computed = stiffness * (desired - q) - params.pd_damping * qd
+    else:
+        raise ValueError(f"Invalid command mode: {static.command_mode!r}")
+
+    applied = saturate(computed, params.torque_low, params.torque_high)
+    if static.apply_safety_damping:
+        applied = applied - params.safety_damping * qd
+        applied = saturate(applied, params.torque_low, params.torque_high)
+    return applied
+
+
+# ---------------------------------------------------------------------------
+# Simulation + observation assembly
+# ---------------------------------------------------------------------------
+
+_batched_physics_step = jax.vmap(physics_step, in_axes=(0, 0, 0, None, None))
+
+
+def _simulate(static: EnvStatic, physics: PhysicsState, tau: jax.Array,
+              scene: SceneParams, n_calls: int):
+    wrench = jnp.zeros((tau.shape[0], 3, 6))
+    for _ in range(n_calls):
+        physics, wrench = _batched_physics_step(
+            physics, tau, scene, static.solver, static.dt
+        )
+    return physics, wrench
+
+
+def _fingertip_object_states(physics: PhysicsState):
+    """Fingertip 13-dim states (N, 3, 13) and object state (N, 13)."""
+    tips_w, tip_rot_w, fk = all_tips_world(physics.q)
+    qd_f = physics.qd.reshape(physics.qd.shape[:-1] + (3, 3))
+    jac_local = tip_jacobian(fk)
+    jac_w = jnp.einsum("fij,...fjk->...fik", MOUNT_ROTS, jac_local)
+    tip_linvel = jnp.einsum("...fij,...fj->...fi", jac_w, qd_f)
+    tip_angvel_local = tip_angular_velocity(fk, qd_f)
+    tip_angvel = jnp.einsum("fij,...fj->...fi", MOUNT_ROTS, tip_angvel_local)
+    tip_quat = matrix_to_quat(tip_rot_w)
+    fingertip_state = jnp.concatenate(
+        [tips_w, tip_quat, tip_linvel, tip_angvel], axis=-1
+    )
+    object_state = jnp.concatenate(
+        [physics.cube_pos, physics.cube_quat, physics.cube_linvel, physics.cube_angvel],
+        axis=-1,
+    )
+    return fingertip_state, object_state
+
+
+def _fill_observations(
+    static: EnvStatic, params: EnvParams, physics: PhysicsState,
+    object_state: jax.Array, goal_pose: jax.Array, action_buf: jax.Array,
+):
+    obs = jnp.concatenate(
+        [physics.q, physics.qd, object_state[..., 0:7], goal_pose, action_buf],
+        axis=-1,
+    )
+    if static.normalize_obs:
+        obs = scale_transform(obs, params.obs_scale_low, params.obs_scale_high)
+    return obs
+
+
+def _fill_states(
+    static: EnvStatic, params: EnvParams, obs_raw: jax.Array,
+    object_state: jax.Array, fingertip_state: jax.Array,
+    applied_torque: jax.Array, tip_wrench: jax.Array,
+):
+    """Asymmetric 113-dim privileged state (reference trifinger_env.py:1021-1051).
+
+    ``obs_raw`` must be the *unnormalized* observation (the reference copies
+    the obs buffer before normalization happens in place)."""
+    if not static.asymmetric_obs:
+        return jnp.zeros(obs_raw.shape[:-1] + (0,))
+    n = obs_raw.shape[0]
+    states = jnp.concatenate(
+        [
+            obs_raw,
+            object_state[..., 7:13],
+            fingertip_state.reshape(n, 39),
+            applied_torque,
+            tip_wrench.reshape(n, 18),
+        ],
+        axis=-1,
+    )
+    if static.normalize_obs:
+        states = scale_transform(states, params.state_scale_low, params.state_scale_high)
+    return states
+
+
+# ---------------------------------------------------------------------------
+# Reset / step cores
+# ---------------------------------------------------------------------------
+
+
+def _masked_full_reset(
+    static: EnvStatic, params: EnvParams, state: EnvState,
+    mask: jax.Array, key: jax.Array,
+) -> EnvState:
+    """Functionally apply a full reset to envs selected by ``mask`` (N,)."""
+    n = static.num_envs
+    k_robot, k_obj, k_goal, k_dr = jax.random.split(key, 4)
+    q_s, qd_s = _sample_robot_state(static, params, k_robot, n)
+    obj_s = _sample_object_state(static, params, k_obj, n)
+    goal_s, angvel_s = _sample_goal_poses(static, params, k_goal, n)
+
+    m1 = mask[:, None]
+    physics = state.physics
+    if static.robot_reset_type != "none":
+        physics = physics.replace(
+            q=jnp.where(m1, q_s, physics.q),
+            qd=jnp.where(m1, qd_s, physics.qd),
+        )
+    if static.object_reset_type != "none":
+        physics = physics.replace(
+            cube_pos=jnp.where(m1, obj_s[:, 0:3], physics.cube_pos),
+            cube_quat=jnp.where(m1, obj_s[:, 3:7], physics.cube_quat),
+            cube_linvel=jnp.where(m1, obj_s[:, 7:10], physics.cube_linvel),
+            cube_angvel=jnp.where(m1, obj_s[:, 10:13], physics.cube_angvel),
+        )
+
+    object_hist = state.object_hist
+    if static.object_reset_type != "none":
+        object_hist = object_hist.at[:, 0].set(
+            jnp.where(m1, obj_s, object_hist[:, 0])
+        )
+
+    scene = state.scene
+    if static.dr_activate:
+        from leibnizgym_tpu.dr import sample_scene_params  # local import: avoid cycle
+
+        scene_s = sample_scene_params(k_dr, n, params.scene_base)
+        scene = jax.tree.map(
+            lambda new, old: jnp.where(
+                mask.reshape((n,) + (1,) * (new.ndim - 1)), new, old
+            ),
+            scene_s, scene,
+        )
+
+    return state.replace(
+        physics=physics,
+        scene=scene,
+        goal_pose=jnp.where(m1, goal_s, state.goal_pose),
+        goal_angvel=jnp.where(m1, angvel_s, state.goal_angvel),
+        object_hist=object_hist,
+        reset_buf=jnp.where(mask, False, state.reset_buf),
+        steps_count=jnp.where(mask, 0, state.steps_count),
+        successes=jnp.where(mask, 0, state.successes),
+    )
+
+
+def _masked_goal_reset(
+    static: EnvStatic, params: EnvParams, state: EnvState,
+    mask: jax.Array, key: jax.Array,
+) -> EnvState:
+    n = static.num_envs
+    goal_s, angvel_s = _sample_goal_poses(static, params, key, n)
+    m1 = mask[:, None]
+    return state.replace(
+        goal_pose=jnp.where(m1, goal_s, state.goal_pose),
+        goal_angvel=jnp.where(m1, angvel_s, state.goal_angvel),
+        goal_reset_buf=jnp.where(mask, False, state.goal_reset_buf),
+    )
+
+
+def _check_termination(static: EnvStatic, object_state, goal_pose, reward,
+                       goal_reset_buf, successes, info):
+    """Success termination (+bonus) — reference trifinger_env.py:1053-1099."""
+    pos_dist = jnp.linalg.norm(
+        goal_pose[..., 0:3] - object_state[..., 0:3], axis=-1
+    )
+    goal_position_reset = pos_dist <= static.position_tolerance
+    info["env/current_position_goal/count"] = jnp.sum(goal_position_reset)
+    ori_dist = quat_diff_rad(object_state[..., 3:7], goal_pose[..., 3:7])
+    goal_orientation_reset = ori_dist <= static.orientation_tolerance
+    info["env/current_orientation_goal/count"] = jnp.sum(goal_orientation_reset)
+
+    if static.task_difficulty < 4:
+        completion = goal_position_reset
+    elif static.task_difficulty == 4:
+        completion = goal_position_reset & goal_orientation_reset
+    else:
+        completion = goal_orientation_reset
+
+    if static.termination_activate:
+        reward = reward + static.termination_bonus * completion.astype(reward.dtype)
+        goal_reset_buf = completion
+        successes = successes + completion.astype(successes.dtype)
+    else:
+        successes = jnp.where(goal_reset_buf, successes, 0)
+    info["env/average_consecutive_success"] = jnp.mean(successes.astype(jnp.float32))
+    return reward, goal_reset_buf, successes, info
+
+
+def env_step(static: EnvStatic, params: EnvParams, state: EnvState,
+             action: jax.Array):
+    """One MDP step for all envs (reference env_base.py:345-401 order)."""
+    n = static.num_envs
+    info: Dict[str, jax.Array] = {}
+    key, k_reset, k_goal = jax.random.split(state.key, 3)
+    state = state.replace(key=key)
+
+    # reset envs first (observations need post-reset physics; see the note at
+    # env_base.py:370-373)
+    reset_mask = state.reset_buf
+    goal_mask = state.goal_reset_buf
+    action_buf = jnp.where(reset_mask[:, None], 0.0, action)
+    state = _masked_full_reset(static, params, state, reset_mask, k_reset)
+    state = _masked_goal_reset(static, params, state, goal_mask, k_goal)
+
+    # pre-step: PD/torque pipeline
+    tau = compute_torque(static, params, action_buf, state.physics.q, state.physics.qd)
+
+    # physics
+    physics, tip_wrench = _simulate(
+        static, state.physics, tau, state.scene, static.control_decimation
+    )
+    frames = state.frames + static.control_decimation
+
+    # goal movement (reference __update_goal_movement_pre/post: the goal body
+    # integrates its angular velocity inside the sim)
+    goal_pose = state.goal_pose
+    if static.goal_rotation_active:
+        goal_quat = quat_integrate(
+            goal_pose[..., 3:7], state.goal_angvel, static.dt * static.control_decimation
+        )
+        goal_pose = jnp.concatenate([goal_pose[..., 0:3], goal_quat], axis=-1)
+
+    # post-step: histories, rewards, termination
+    fingertip_state, object_state = _fingertip_object_states(physics)
+    fingertip_hist = jnp.stack([fingertip_state, state.fingertip_hist[:, 0]], axis=1)
+    object_hist = jnp.stack([object_state, state.object_hist[:, 0]], axis=1)
+
+    env_steps_count = (frames * n).astype(jnp.float32)
+    reward, term_values = compute_rewards(
+        static.reward_spec_dict(),
+        static.dt,
+        env_steps_count,
+        fingertip_hist[:, 0],
+        fingertip_hist[:, 1],
+        object_hist[:, 0],
+        object_hist[:, 1],
+        goal_pose,
+    )
+    for name, value in term_values.items():
+        info[f"env/rewards/{name}"] = jnp.mean(value)
+
+    reward, goal_reset_buf, successes, info = _check_termination(
+        static, object_state, goal_pose, reward,
+        state.goal_reset_buf, state.successes, info,
+    )
+
+    # timeout
+    steps_count = state.steps_count + 1
+    if static.episode_length:
+        timeout = steps_count >= static.episode_length
+        reset_buf = state.reset_buf | timeout
+    else:
+        reset_buf = state.reset_buf
+
+    if static.dones_mode == "and":
+        dones = reset_buf & goal_reset_buf
+    else:
+        dones = reset_buf | goal_reset_buf
+
+    obs_raw = jnp.concatenate(
+        [physics.q, physics.qd, object_state[..., 0:7], goal_pose, action_buf],
+        axis=-1,
+    )
+    obs = (
+        scale_transform(obs_raw, params.obs_scale_low, params.obs_scale_high)
+        if static.normalize_obs
+        else obs_raw
+    )
+    states = _fill_states(
+        static, params, obs_raw, object_state, fingertip_state, tau, tip_wrench
+    )
+
+    new_state = state.replace(
+        physics=physics,
+        goal_pose=goal_pose,
+        action_buf=action_buf,
+        applied_torque=tau,
+        tip_wrench=tip_wrench,
+        reset_buf=reset_buf,
+        goal_reset_buf=goal_reset_buf,
+        steps_count=steps_count,
+        successes=successes,
+        fingertip_hist=fingertip_hist,
+        object_hist=object_hist,
+        frames=frames,
+    )
+    return new_state, obs, states, reward, dones, info
+
+
+def env_reset(static: EnvStatic, params: EnvParams, key: jax.Array):
+    """Full reset of all envs (reference env_base.py:322-343: reset, apply a
+    zero-action pre-step, ONE simulate call, fill observations)."""
+    n = static.num_envs
+    key, k_init = jax.random.split(key)
+    scene = _broadcast_scene(params.scene_base, n)
+    state = EnvState(
+        physics=PhysicsState.default((n,)),
+        scene=scene,
+        goal_pose=jnp.tile(jnp.array([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0]), (n, 1)),
+        goal_angvel=jnp.zeros((n, 3)),
+        action_buf=jnp.zeros((n, static.action_dim)),
+        applied_torque=jnp.zeros((n, 9)),
+        tip_wrench=jnp.zeros((n, 3, 6)),
+        reset_buf=jnp.zeros(n, bool),
+        goal_reset_buf=jnp.zeros(n, bool),
+        steps_count=jnp.zeros(n, jnp.int32),
+        successes=jnp.zeros(n, jnp.int32),
+        fingertip_hist=jnp.zeros((n, 2, 3, 13)),
+        object_hist=jnp.zeros((n, 2, 13)),
+        frames=jnp.zeros((), jnp.int32),
+        key=key,
+    )
+    state = _masked_full_reset(
+        static, params, state, jnp.ones(n, bool), k_init
+    )
+    tau = compute_torque(
+        static, params, state.action_buf, state.physics.q, state.physics.qd
+    )
+    physics, tip_wrench = _simulate(static, state.physics, tau, state.scene, 1)
+    frames = state.frames + 1
+
+    fingertip_state, object_state = _fingertip_object_states(physics)
+    fingertip_hist = jnp.stack([fingertip_state, state.fingertip_hist[:, 0]], axis=1)
+    object_hist = jnp.stack([object_state, state.object_hist[:, 0]], axis=1)
+    obs = _fill_observations(
+        static, params, physics, object_state, state.goal_pose, state.action_buf
+    )
+    state = state.replace(
+        physics=physics,
+        applied_torque=tau,
+        tip_wrench=tip_wrench,
+        fingertip_hist=fingertip_hist,
+        object_hist=object_hist,
+        frames=frames,
+    )
+    return state, obs
+
+
+# ---------------------------------------------------------------------------
+# Stateful convenience wrapper (reference-compatible interface)
+# ---------------------------------------------------------------------------
+
+
+class TrifingerEnv:
+    """Stateful wrapper with the reference's public surface
+    (``reset()``, ``step(action)``, buffer properties, ``dump_config``).
+
+    The functional core (`env_step` / `env_reset`) is jitted once per config;
+    pass ``device=`` a jax.Device to pin placement (optional).
+    """
+
+    def __init__(self, config: Optional[dict] = None, device=None,
+                 verbose: bool = True, visualize: bool = False):
+        merged = merged_dict(dict(SIM_DEFAULT_CONFIG_DICT), TRIFINGER_DEFAULT_CONFIG_DICT)
+        if config is not None:
+            merged = merged_dict(merged, config)
+        if merged["asymmetric_obs"]:
+            merged["enable_ft_sensors"] = True
+        self.config = merged
+        self.device = device
+        self.verbose = verbose
+        self.visualize = visualize  # no viewer on TPU; states can be dumped
+
+        self._object_dims = CuboidalObject(0.065)
+        self.static = build_static(merged)
+        self.params = build_params(self.static, self._object_dims)
+
+        self.obs_spec = {
+            "robot_q": 9, "robot_u": 9, "object_q": 7, "object_q_des": 7,
+            "command": self.static.action_dim,
+        }
+        self.action_spec = {"command": self.static.action_dim}
+        if self.static.asymmetric_obs:
+            self.state_spec = {
+                **self.obs_spec,
+                "object_u": 6, "fingertip_state": 39, "robot_a": 9,
+                "fingertip_wrench": 18,
+            }
+        else:
+            self.state_spec = {}
+
+        self._step_fn = jax.jit(env_step, static_argnums=0)
+        self._reset_fn = jax.jit(env_reset, static_argnums=0)
+        self._key = jax.random.PRNGKey(int(merged["seed"]))
+        self._state: Optional[EnvState] = None
+        self._last = None  # (obs, states, reward, dones, info)
+
+        if verbose:
+            print_info(
+                f"TrifingerEnv[TPU]: N={self.static.num_envs} "
+                f"difficulty={self.static.task_difficulty} "
+                f"obs={self.static.obs_dim} states={self.static.state_dim} "
+                f"actions={self.static.action_dim}"
+            )
+
+    # -- properties mirroring IsaacEnvBase ---------------------------------
+
+    @property
+    def num_instances(self) -> int:
+        return self.static.num_envs
+
+    def get_num_instances(self) -> int:
+        return self.static.num_envs
+
+    def get_obs_dim(self) -> int:
+        return self.static.obs_dim
+
+    def get_state_dim(self) -> int:
+        return self.static.state_dim
+
+    def get_action_dim(self) -> int:
+        return self.static.action_dim
+
+    @property
+    def env_steps_count(self) -> int:
+        frames = int(self._state.frames) if self._state is not None else 0
+        return frames * self.static.num_envs
+
+    @property
+    def state(self) -> EnvState:
+        return self._state
+
+    @property
+    def obs_buf(self):
+        return self._last[0] if self._last else None
+
+    @property
+    def states_buf(self):
+        return self._last[1] if self._last else None
+
+    @property
+    def reward_buf(self):
+        return self._last[2] if self._last else None
+
+    @property
+    def dones_buf(self):
+        return self._last[3] if self._last else None
+
+    # -- operations ---------------------------------------------------------
+
+    def seed(self, seed: int = 0):
+        self._key = jax.random.PRNGKey(int(seed))
+
+    def reset(self):
+        self._key, sub = jax.random.split(self._key)
+        self._state, obs = self._reset_fn(self.static, self.params, sub)
+        self._last = (obs, None, None, None, {})
+        return obs
+
+    def step(self, action):
+        action = jnp.asarray(action)
+        expected = (self.static.num_envs, self.static.action_dim)
+        if tuple(action.shape) != expected:
+            raise ValueError(
+                f"Invalid shape for tensor `action`. Input: {tuple(action.shape)}"
+                f" != {expected}."
+            )
+        self._state, obs, states, reward, dones, info = self._step_fn(
+            self.static, self.params, self._state, action
+        )
+        self._last = (obs, states, reward, dones, info)
+        return obs, reward, dones, info
+
+    def get_state(self):
+        return self._last[1]
+
+    def render(self):
+        pass  # no on-TPU viewer; see scripts/replay_viewer.py
+
+    def close(self):
+        pass
+
+    def dump_config(self, filename: str):
+        import os
+
+        import yaml
+
+        if not filename.endswith(".yaml"):
+            filename += ".yaml"
+        os.makedirs(os.path.dirname(filename) or ".", exist_ok=True)
+        with open(filename, "w") as f:
+            yaml.dump(self.config, f)

@@ -1,0 +1,57 @@
+"""Key-based random sampling strategies for poses and goals.
+
+TPU-native re-design of the reference samplers
+(/root/reference/leibnizgym/envs/trifinger/sample.py:22-84): torch's global RNG
+streams become explicit ``jax.random`` keys so sampling is pure, reproducible,
+and shardable. Distributions are identical.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from leibnizgym_tpu.utils.math import quaternion_from_euler_xyz
+
+
+def random_xy(key: jax.Array, num: int, max_com_distance_to_center: float):
+    """Uniform positions in a disc of the given radius (sqrt-radius trick)."""
+    k_r, k_t = jax.random.split(key)
+    radius = jnp.sqrt(jax.random.uniform(k_r, (num,))) * max_com_distance_to_center
+    theta = 2.0 * jnp.pi * jax.random.uniform(k_t, (num,))
+    return radius * jnp.cos(theta), radius * jnp.sin(theta)
+
+
+def random_z(key: jax.Array, num: int, min_height: float, max_height: float) -> jax.Array:
+    """Uniform heights in ``[min_height, max_height]``."""
+    z = jax.random.uniform(key, (num,))
+    return (max_height - min_height) * z + min_height
+
+
+def default_orientation(num: int) -> jax.Array:
+    """Identity quaternion(s), shape (num, 4), (x, y, z, w)."""
+    quat = jnp.zeros((num, 4))
+    return quat.at[..., 3].set(1.0)
+
+
+def random_orientation(key: jax.Array, num: int) -> jax.Array:
+    """Uniformly random unit quaternions via normalized Gaussians."""
+    quat = jax.random.normal(key, (num, 4))
+    norm = jnp.linalg.norm(quat, axis=-1, keepdims=True)
+    return quat / jnp.maximum(norm, 1e-12)
+
+
+def random_angular_vel(key: jax.Array, num: int, magnitude_stdev: float) -> jax.Array:
+    """Random angular velocity: random unit axis x N(0, stdev) magnitude."""
+    k_axis, k_mag = jax.random.split(key)
+    axis = jax.random.normal(k_axis, (num, 3))
+    axis = axis / jnp.linalg.norm(axis, axis=-1, keepdims=True)
+    magnitude = jax.random.normal(k_mag, (num, 1)) * magnitude_stdev
+    return magnitude * axis
+
+
+def random_yaw_orientation(key: jax.Array, num: int) -> jax.Array:
+    """Random rotation about the z-axis only."""
+    zeros = jnp.zeros(num)
+    yaw = 2.0 * jnp.pi * jax.random.uniform(key, (num,))
+    return quaternion_from_euler_xyz(zeros, zeros, yaw)

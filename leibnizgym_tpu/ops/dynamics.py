@@ -1,0 +1,128 @@
+"""Generalized-coordinate dynamics of one 3-DoF finger chain.
+
+Replaces PhysX articulated dynamics (SURVEY.md §2.3) for the fixed-base
+TriFinger. The mass matrix is assembled from link Jacobians; Coriolis +
+gravity bias comes from the Euler-Lagrange equations evaluated with JAX
+autodiff — guaranteed consistent with M(q) and trivially verifiable against
+finite differences. All functions are written unbatched (single finger) and
+are vmapped over (env, finger) by the engine; XLA turns the tiny 3x3 algebra
+into one fused elementwise pipeline across the flat batch.
+
+Why not ABA/RNEA by hand: for a 3-DoF chain the closed-form Cholesky solve of
+the 3x3 system (utils.math.solve_pd_3x3) is already optimal; hand-derived
+recursions would only add transcription risk.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from leibnizgym_tpu.models import trifinger as tf_model
+from leibnizgym_tpu.ops.kinematics import finger_fk
+from leibnizgym_tpu.utils.math import solve_pd_3x3
+
+_LOWER_MASK = jnp.array(
+    [[1.0, 0.0, 0.0], [1.0, 1.0, 0.0], [1.0, 1.0, 1.0]]
+)  # mask[l, i] = joint i moves link l
+
+
+def link_jacobians(fk) -> tuple[jax.Array, jax.Array]:
+    """Linear & angular Jacobians of each link COM w.r.t. the 3 joints.
+
+    Returns (jv, jw) of shape (3 links, 3, 3 joints): column i of link l is the
+    velocity of COM l per unit qd_i (zero for i > l).
+    """
+    # rel[l, i] = com_l - p_i
+    rel = fk.link_com[..., :, None, :] - fk.joint_pos[..., None, :, :]
+    jv_cols = jnp.cross(fk.joint_axis[..., None, :, :], rel)  # (l, i, 3)
+    jv_cols = jv_cols * _LOWER_MASK[..., None]
+    jw_cols = jnp.broadcast_to(
+        fk.joint_axis[..., None, :, :], jv_cols.shape
+    ) * _LOWER_MASK[..., None]
+    # -> (l, 3, i): columns indexed by joint
+    return jnp.swapaxes(jv_cols, -1, -2), jnp.swapaxes(jw_cols, -1, -2)
+
+
+def mass_matrix(
+    q: jax.Array,
+    link_masses: jax.Array | None = None,
+    armature: jax.Array | None = None,
+) -> jax.Array:
+    """3x3 joint-space mass matrix of one finger; ``q`` shape (3,).
+
+    ``link_masses`` (3,) scales masses AND inertias proportionally (DR knob:
+    density-style randomization keeps the inertia/mass ratio fixed).
+    """
+    fk = finger_fk(q)
+    jv, jw = link_jacobians(fk)
+    base_masses = jnp.asarray(tf_model.LINK_MASSES)
+    masses = base_masses if link_masses is None else link_masses
+    scale = masses / base_masses
+    inertias = jnp.asarray(tf_model.LINK_INERTIAS) * scale[:, None, None]
+
+    # world-frame link inertias: R I R^T
+    r = fk.link_rot
+    i_w = r @ inertias @ jnp.swapaxes(r, -1, -2)
+
+    m = jnp.einsum("l,lki,lkj->ij", masses, jv, jv)
+    m = m + jnp.einsum("lki,lkm,lmj->ij", jw, i_w, jw)
+    if armature is not None:
+        m = m + jnp.diag(armature)
+    return m
+
+
+def potential_energy(
+    q: jax.Array, gravity: jax.Array, link_masses: jax.Array | None = None
+) -> jax.Array:
+    """Gravitational potential of one finger (finger-local frame; gravity is
+    yaw-invariant so this is exact for every finger)."""
+    fk = finger_fk(q)
+    masses = jnp.asarray(tf_model.LINK_MASSES) if link_masses is None else link_masses
+    return -jnp.einsum("l,li,i->", masses, fk.link_com, gravity)
+
+
+def bias_forces(
+    q: jax.Array,
+    qd: jax.Array,
+    gravity: jax.Array,
+    link_masses: jax.Array | None = None,
+    armature: jax.Array | None = None,
+) -> jax.Array:
+    """Coriolis/centrifugal + gravity generalized forces b(q, qd), shape (3,).
+
+    Euler-Lagrange: b = (dM/dq . qd) qd - 1/2 d(qd^T M qd)/dq + dV/dq, so the
+    forward dynamics is  M qdd = tau - b.
+    """
+
+    def mq(qq):
+        return mass_matrix(qq, link_masses, armature) @ qd
+
+    dmqd = jax.jacfwd(mq)(q)  # (3, 3): d(M qd)_i / dq_j
+
+    def kinetic(qq):
+        return 0.5 * qd @ mass_matrix(qq, link_masses, armature) @ qd
+
+    return (
+        dmqd @ qd
+        - jax.grad(kinetic)(q)
+        + jax.grad(lambda qq: potential_energy(qq, gravity, link_masses))(q)
+    )
+
+
+def forward_dynamics(
+    q: jax.Array,
+    qd: jax.Array,
+    tau: jax.Array,
+    gravity: jax.Array,
+    link_masses: jax.Array | None = None,
+    joint_damping: jax.Array | None = None,
+    armature: jax.Array | None = None,
+) -> jax.Array:
+    """Joint accelerations qdd of one finger under applied torque ``tau``."""
+    m = mass_matrix(q, link_masses, armature)
+    b = bias_forces(q, qd, gravity, link_masses, armature)
+    total = tau - b
+    if joint_damping is not None:
+        total = total - joint_damping * qd
+    return solve_pd_3x3(m, total)

@@ -1,0 +1,396 @@
+"""The batched TriFinger physics engine: one pure substepped step function.
+
+Replaces `gym.simulate` (reference env_base.py:383-384) and everything behind
+it (PhysX articulation + rigid-body + contact pipeline, SURVEY.md §2.3).
+
+Design notes (TPU-first):
+- `physics_step` is written for ONE environment and `vmap`-ed over the env
+  axis by callers; under jit the whole thing lowers to one fused elementwise
+  pipeline over the env batch (the VPU lanes) — tiny 3x3 algebra never forms
+  real matrices in HBM.
+- Substeps and solver iterations are `lax.fori_loop`s with static trip counts;
+  the 22-slot contact sweep is unrolled inside the body (fixed topology, no
+  data-dependent control flow anywhere).
+- Torque is held constant across substeps, exactly like the reference where
+  `set_dof_actuation_force_tensor` happens once per env step
+  (trifinger_env.py:496) before `gym.simulate` substeps internally.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from leibnizgym_tpu.models import trifinger as tf_model
+from leibnizgym_tpu.ops import dynamics
+from leibnizgym_tpu.ops.contact import (
+    _CORNER_SIGNS,
+    _tangent_basis,
+    closest_point_on_box,
+    contact_target,
+    cube_body,
+    solve_contact_friction,
+    solve_contact_normal,
+)
+from leibnizgym_tpu.ops.kinematics import (
+    MOUNT_POS,
+    MOUNT_ROTS,
+    finger_fk,
+    tip_jacobian,
+)
+from leibnizgym_tpu.ops.types import PhysicsState, SceneParams, SolverConfig
+from leibnizgym_tpu.utils.math import quat_integrate, solve_pd_3x3
+
+_TIP_LOCAL_OFFSET = jnp.asarray(tf_model.TIP_SPHERE_OFFSET)
+_MAX_CUBE_ANGVEL = 64.0  # PhysX AssetOptions default max_angular_velocity
+
+
+class _FingerPre(NamedTuple):
+    """Per-finger quantities precomputed once per substep (finger axis 3)."""
+
+    tip_pos_w: jax.Array  # (3, 3)
+    jac_w: jax.Array  # (3, 3, 3) world-frame linear tip jacobian
+    minv_jt: jax.Array  # (3, 3, 3) M^-1 J_w^T  (impulse -> delta qd map)
+    a_tip: jax.Array  # (3, 3, 3) J M^-1 J^T  (tip-point inverse mass)
+
+
+def _finger_precompute(q_f: jax.Array, params: SceneParams) -> _FingerPre:
+    """q_f: (3 fingers, 3 joints)."""
+
+    def per_finger(q3, mount_rot):
+        fk = finger_fk(q3)
+        m = dynamics.mass_matrix(q3, params.link_masses, params.armature)
+        jac_local = tip_jacobian(fk)
+        jac_w = mount_rot @ jac_local
+        # columns of M^-1 J^T: solve M x = row_i(J)  (J^T columns are J rows)
+        minv_jt = jax.vmap(lambda col: solve_pd_3x3(m, col))(jac_w).T
+        # note: vmap over the 3 world axes -> rows of J_w; stack -> (3,3);
+        # transpose gives M^-1 J_w^T with impulse index last
+        a_tip = jac_w @ minv_jt
+        tip_w = MOUNT_POS + mount_rot @ fk.tip_pos
+        return tip_w, jac_w, minv_jt, a_tip
+
+    tip_w, jac_w, minv_jt, a_tip = jax.vmap(per_finger)(q_f, MOUNT_ROTS)
+    return _FingerPre(tip_w, jac_w, minv_jt, a_tip)
+
+
+def _free_velocities(
+    state: PhysicsState, tau: jax.Array, params: SceneParams, h: float
+):
+    """Integrate external+actuation forces over one substep (no contacts)."""
+    q_f = state.q.reshape(3, 3)
+    qd_f = state.qd.reshape(3, 3)
+    tau_f = tau.reshape(3, 3)
+
+    qdd_f = jax.vmap(
+        lambda q3, qd3, t3: dynamics.forward_dynamics(
+            q3, qd3, t3, params.gravity,
+            params.link_masses, params.joint_damping, params.armature,
+        )
+    )(q_f, qd_f, tau_f)
+    qd_f = qd_f + h * qdd_f
+
+    # cube: gravity + PhysX-style damping
+    v = state.cube_linvel * jnp.maximum(0.0, 1.0 - params.cube_linear_damping * h)
+    w = state.cube_angvel * jnp.maximum(0.0, 1.0 - params.cube_angular_damping * h)
+    v = v + h * params.gravity
+    return qd_f, v, w
+
+
+def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
+             cfg: SolverConfig, h: float) -> PhysicsState:
+    # ---- unconstrained velocity update -----------------------------------
+    qd_f, v, w = _free_velocities(state, tau, params, h)
+    q_f = state.q.reshape(3, 3)
+
+    # ---- per-substep precomputation --------------------------------------
+    pre = _finger_precompute(q_f, params)
+    body = cube_body(state.cube_pos, state.cube_quat,
+                     params.cube_mass, params.cube_inertia)
+    half = params.cube_half_extents
+    # The tiny (0,0,1.3mm) tip-sphere center offset is applied in the world
+    # frame: it is z-aligned in the tip frame and the tip stays near-vertical
+    # in the robot's workspace, so this avoids carrying tip rotations through
+    # the contact path.
+    tip_centers = pre.tip_pos_w + _TIP_LOCAL_OFFSET
+
+    corners_w = state.cube_pos + jnp.einsum(
+        "ij,cj->ci", body.rot, _CORNER_SIGNS * half
+    )  # (8, 3)
+
+    # ---- contact slot construction ---------------------------------------
+    # group A: cube corners vs ground (8)
+    ground_n = jnp.array([0.0, 0.0, 1.0])
+    a_depth = -corners_w[:, 2]
+    a_r = corners_w - state.cube_pos
+
+    # group B: cube corners vs arena wall (8); inward radial normal
+    rho = jnp.linalg.norm(corners_w[:, 0:2], axis=-1)
+    b_depth = rho - params.wall_radius
+    inward = -corners_w[:, 0:2] / jnp.maximum(rho[:, None], 1e-9)
+    b_n = jnp.concatenate([inward, jnp.zeros((8, 1))], axis=-1)
+    b_r = a_r
+
+    # group C: tip spheres vs cube (3)
+    def tip_cube(center):
+        local = body.rot.T @ (center - state.cube_pos)
+        n_local, sdist, surf_local = closest_point_on_box(local, half)
+        depth = params.tip_radius - sdist
+        n_w = -(body.rot @ n_local)  # +n pushes the cube away from the tip
+        point = state.cube_pos + body.rot @ surf_local
+        return n_w, depth, point
+
+    c_n, c_depth, c_point = jax.vmap(tip_cube)(tip_centers)
+    c_r = c_point - state.cube_pos
+
+    # group D: tip spheres vs ground (3)
+    d_depth = params.tip_radius - tip_centers[:, 2]
+
+    # ---- effective masses, tangents, restitution targets -----------------
+    def k_cube_dir(r, d):
+        rxd = jnp.cross(r, d)
+        return body.inv_mass + rxd @ body.inv_inertia_w @ rxd
+
+    def cube_point_vel(v_, w_, r):
+        return v_ + jnp.cross(w_, r)
+
+    def tip_vel(qd_f_, f):
+        return pre.jac_w[f] @ qd_f_[f]
+
+    # pre-solve normal velocities for restitution
+    a_t1, a_t2 = _tangent_basis(ground_n)
+    b_t = jax.vmap(_tangent_basis)(b_n)
+    c_t = jax.vmap(_tangent_basis)(c_n)
+
+    a_vn0 = jax.vmap(lambda r: cube_point_vel(v, w, r) @ ground_n)(a_r)
+    b_vn0 = jax.vmap(lambda r, n: cube_point_vel(v, w, r) @ n)(b_r, b_n)
+    c_vn0 = jnp.stack([
+        (cube_point_vel(v, w, c_r[f]) - tip_vel(qd_f, f)) @ c_n[f] for f in range(3)
+    ])
+    d_vn0 = jnp.stack([tip_vel(qd_f, f)[2] for f in range(3)])
+
+    a_target = jax.vmap(
+        lambda depth, vn0: contact_target(
+            depth, vn0, params.restitution_cube_ground, params.bounce_threshold, h, cfg
+        )
+    )(a_depth, a_vn0)
+    b_target = jax.vmap(
+        lambda depth, vn0: contact_target(
+            depth, vn0, jnp.asarray(0.0), params.bounce_threshold, h, cfg
+        )
+    )(b_depth, b_vn0)
+    c_target = jax.vmap(
+        lambda depth, vn0: contact_target(
+            depth, vn0, params.restitution_tip_cube, params.bounce_threshold, h, cfg
+        )
+    )(c_depth, c_vn0)
+    d_target = jax.vmap(
+        lambda depth, vn0: contact_target(
+            depth, vn0, params.restitution_tip_ground, params.bounce_threshold, h, cfg
+        )
+    )(d_depth, d_vn0)
+
+    a_wn = jax.vmap(lambda r: k_cube_dir(r, ground_n))(a_r)
+    a_wt1 = jax.vmap(lambda r: k_cube_dir(r, a_t1))(a_r)
+    a_wt2 = jax.vmap(lambda r: k_cube_dir(r, a_t2))(a_r)
+    b_wn = jax.vmap(k_cube_dir)(b_r, b_n)
+    b_wt1 = jax.vmap(k_cube_dir)(b_r, b_t[0])
+    b_wt2 = jax.vmap(k_cube_dir)(b_r, b_t[1])
+    c_wn = jnp.stack([
+        k_cube_dir(c_r[f], c_n[f]) + c_n[f] @ pre.a_tip[f] @ c_n[f] for f in range(3)
+    ])
+    c_wt1 = jnp.stack([
+        k_cube_dir(c_r[f], c_t[0][f]) + c_t[0][f] @ pre.a_tip[f] @ c_t[0][f]
+        for f in range(3)
+    ])
+    c_wt2 = jnp.stack([
+        k_cube_dir(c_r[f], c_t[1][f]) + c_t[1][f] @ pre.a_tip[f] @ c_t[1][f]
+        for f in range(3)
+    ])
+    d_wn = jnp.stack([pre.a_tip[f][2, 2] for f in range(3)])
+    d_wt1 = jnp.stack([pre.a_tip[f][0, 0] for f in range(3)])
+    d_wt2 = jnp.stack([pre.a_tip[f][1, 1] for f in range(3)])
+
+    # ---- projected Gauss-Seidel sweeps -----------------------------------
+    def sweep(_, carry):
+        v, w, qd_f, lam = carry
+        (a_ln, a_l1, a_l2, b_ln, b_l1, b_l2,
+         c_ln, c_l1, c_l2, d_ln, d_l1, d_l2) = lam
+
+        # -- A: cube corners vs ground
+        for i in range(8):
+            r = a_r[i]
+            u = v + jnp.cross(w, r)
+            d_lam, nl = solve_contact_normal(u @ ground_n, a_target[i], a_wn[i], a_ln[i])
+            a_ln = a_ln.at[i].set(nl)
+            p = d_lam * ground_n
+            v = v + body.inv_mass * p
+            w = w + body.inv_inertia_w @ jnp.cross(r, p)
+            mu_l = params.mu_cube_ground * nl
+            u = v + jnp.cross(w, r)
+            d_lam, t1l = solve_contact_friction(u @ a_t1, a_wt1[i], a_l1[i], mu_l)
+            a_l1 = a_l1.at[i].set(t1l)
+            p = d_lam * a_t1
+            v = v + body.inv_mass * p
+            w = w + body.inv_inertia_w @ jnp.cross(r, p)
+            u = v + jnp.cross(w, r)
+            d_lam, t2l = solve_contact_friction(u @ a_t2, a_wt2[i], a_l2[i], mu_l)
+            a_l2 = a_l2.at[i].set(t2l)
+            p = d_lam * a_t2
+            v = v + body.inv_mass * p
+            w = w + body.inv_inertia_w @ jnp.cross(r, p)
+
+        # -- B: cube corners vs wall
+        for i in range(8):
+            r, n = b_r[i], b_n[i]
+            u = v + jnp.cross(w, r)
+            d_lam, nl = solve_contact_normal(u @ n, b_target[i], b_wn[i], b_ln[i])
+            b_ln = b_ln.at[i].set(nl)
+            p = d_lam * n
+            v = v + body.inv_mass * p
+            w = w + body.inv_inertia_w @ jnp.cross(r, p)
+            mu_l = params.mu_cube_wall * nl
+            for t_vec, w_t, lam_arr, set_back in (
+                (b_t[0][i], b_wt1[i], b_l1, 0),
+                (b_t[1][i], b_wt2[i], b_l2, 1),
+            ):
+                u = v + jnp.cross(w, r)
+                d_lam, tl = solve_contact_friction(u @ t_vec, w_t, lam_arr[i], mu_l)
+                if set_back == 0:
+                    b_l1 = b_l1.at[i].set(tl)
+                else:
+                    b_l2 = b_l2.at[i].set(tl)
+                p = d_lam * t_vec
+                v = v + body.inv_mass * p
+                w = w + body.inv_inertia_w @ jnp.cross(r, p)
+
+        # -- C: tips vs cube (impulse +P on cube, -P on finger f)
+        for f in range(3):
+            r, n = c_r[f], c_n[f]
+            u = (v + jnp.cross(w, r)) - pre.jac_w[f] @ qd_f[f]
+            d_lam, nl = solve_contact_normal(u @ n, c_target[f], c_wn[f], c_ln[f])
+            c_ln = c_ln.at[f].set(nl)
+            p = d_lam * n
+            v = v + body.inv_mass * p
+            w = w + body.inv_inertia_w @ jnp.cross(r, p)
+            qd_f = qd_f.at[f].add(-(pre.minv_jt[f] @ p))
+            mu_l = params.mu_tip_cube * nl
+            for which in (0, 1):
+                t_vec = c_t[which][f]
+                w_t = c_wt1[f] if which == 0 else c_wt2[f]
+                lam_prev = c_l1[f] if which == 0 else c_l2[f]
+                u = (v + jnp.cross(w, r)) - pre.jac_w[f] @ qd_f[f]
+                d_lam, tl = solve_contact_friction(u @ t_vec, w_t, lam_prev, mu_l)
+                if which == 0:
+                    c_l1 = c_l1.at[f].set(tl)
+                else:
+                    c_l2 = c_l2.at[f].set(tl)
+                p = d_lam * t_vec
+                v = v + body.inv_mass * p
+                w = w + body.inv_inertia_w @ jnp.cross(r, p)
+                qd_f = qd_f.at[f].add(-(pre.minv_jt[f] @ p))
+
+        # -- D: tips vs ground (impulse +P on finger)
+        ex = jnp.array([1.0, 0.0, 0.0])
+        ey = jnp.array([0.0, 1.0, 0.0])
+        ez = jnp.array([0.0, 0.0, 1.0])
+        for f in range(3):
+            u = pre.jac_w[f] @ qd_f[f]
+            d_lam, nl = solve_contact_normal(u[2], d_target[f], d_wn[f], d_ln[f])
+            d_ln = d_ln.at[f].set(nl)
+            qd_f = qd_f.at[f].add(pre.minv_jt[f] @ (d_lam * ez))
+            mu_l = params.mu_tip_ground * nl
+            u = pre.jac_w[f] @ qd_f[f]
+            d_lam, t1l = solve_contact_friction(u[0], d_wt1[f], d_l1[f], mu_l)
+            d_l1 = d_l1.at[f].set(t1l)
+            qd_f = qd_f.at[f].add(pre.minv_jt[f] @ (d_lam * ex))
+            u = pre.jac_w[f] @ qd_f[f]
+            d_lam, t2l = solve_contact_friction(u[1], d_wt2[f], d_l2[f], mu_l)
+            d_l2 = d_l2.at[f].set(t2l)
+            qd_f = qd_f.at[f].add(pre.minv_jt[f] @ (d_lam * ey))
+
+        return v, w, qd_f, (a_ln, a_l1, a_l2, b_ln, b_l1, b_l2,
+                            c_ln, c_l1, c_l2, d_ln, d_l1, d_l2)
+
+    zeros8 = jnp.zeros(8)
+    zeros3 = jnp.zeros(3)
+    lam0 = (zeros8, zeros8, zeros8, zeros8, zeros8, zeros8,
+            zeros3, zeros3, zeros3, zeros3, zeros3, zeros3)
+    v, w, qd_f, lam = jax.lax.fori_loop(
+        0, cfg.solver_iterations, sweep, (v, w, qd_f, lam0)
+    )
+
+    # ---- fingertip contact impulses (force/torque sensing) ----------------
+    # Reconstructed from the converged accumulators — the net impulse each tip
+    # exchanged this substep (replaces PhysX force sensors,
+    # trifinger_env.py:827-832).
+    (_, _, _, _, _, _, c_ln, c_l1, c_l2, d_ln, d_l1, d_l2) = lam
+    ex = jnp.array([1.0, 0.0, 0.0])
+    ey = jnp.array([0.0, 1.0, 0.0])
+    ez = jnp.array([0.0, 0.0, 1.0])
+    # impulse ON the tip: reaction of cube contact (-P) plus ground contact (+P)
+    imp_c = -(c_ln[:, None] * c_n + c_l1[:, None] * c_t[0] + c_l2[:, None] * c_t[1])
+    imp_d = d_ln[:, None] * ez + d_l1[:, None] * ex + d_l2[:, None] * ey
+    tip_impulse = imp_c + imp_d  # (3 fingers, 3)
+    # torque impulse about the tip frame origin
+    arm_c = c_point - pre.tip_pos_w  # (3, 3)
+    arm_d = (tip_centers - params.tip_radius * ez) - pre.tip_pos_w
+    tip_torque_impulse = jnp.cross(arm_c, imp_c) + jnp.cross(arm_d, imp_d)
+
+    # ---- position integration + limits -----------------------------------
+    q_new = (q_f + h * qd_f).reshape(9)
+    lower = jnp.asarray(cfg.joint_limit_lower)
+    upper = jnp.asarray(cfg.joint_limit_upper)
+    q_clamped = jnp.clip(q_new, lower, upper)
+    qd9 = qd_f.reshape(9)
+    # kill outward velocity at the limits
+    at_lower = (q_new <= lower) & (qd9 < 0.0)
+    at_upper = (q_new >= upper) & (qd9 > 0.0)
+    qd9 = jnp.where(at_lower | at_upper, 0.0, qd9)
+    qd9 = jnp.clip(qd9, -params.velocity_limit, params.velocity_limit)
+
+    w_norm = jnp.linalg.norm(w)
+    w = jnp.where(w_norm > _MAX_CUBE_ANGVEL, w * (_MAX_CUBE_ANGVEL / w_norm), w)
+
+    new_state = PhysicsState(
+        q=q_clamped,
+        qd=qd9,
+        cube_pos=state.cube_pos + h * v,
+        cube_quat=quat_integrate(state.cube_quat, w, h),
+        cube_linvel=v,
+        cube_angvel=w,
+    )
+    return new_state, tip_impulse, tip_torque_impulse
+
+
+def physics_step(
+    state: PhysicsState,
+    tau: jax.Array,
+    params: SceneParams,
+    cfg: SolverConfig,
+    dt: float = 0.02,
+):
+    """Advance one environment by one control step of ``dt`` seconds.
+
+    Unbatched; `vmap` over the env axis for the fleet. ``tau`` (9,) is the
+    already-saturated applied joint torque (computed once per step by the env
+    layer, exactly like trifinger_env.py:442-496).
+
+    Returns (new_state, tip_wrench) where ``tip_wrench`` (3, 6) is the
+    per-fingertip contact force+torque averaged over the step (impulse / dt) —
+    the replacement for PhysX fingertip force sensors.
+    """
+    h = dt / cfg.substeps
+
+    def body(_, carry):
+        s, acc_f, acc_t = carry
+        s, imp_f, imp_t = _substep(s, tau, params, cfg, h)
+        return s, acc_f + imp_f, acc_t + imp_t
+
+    state, imp_f, imp_t = jax.lax.fori_loop(
+        0, cfg.substeps, body, (state, jnp.zeros((3, 3)), jnp.zeros((3, 3)))
+    )
+    tip_wrench = jnp.concatenate([imp_f / dt, imp_t / dt], axis=-1)
+    return state, tip_wrench

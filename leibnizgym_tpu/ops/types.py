@@ -1,0 +1,150 @@
+"""Pytree datatypes for the TPU physics engine.
+
+The reference keeps simulation state inside the PhysX binary and exposes it via
+gymtorch tensor views (trifinger_env.py:565-628). Here the state IS the pytree:
+purely functional, vmappable over the env axis, shardable with jax.sharding.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from leibnizgym_tpu.models import trifinger as tf_model
+
+
+@struct.dataclass
+class PhysicsState:
+    """Dynamic state of one (or a batch of) TriFinger scene(s).
+
+    Leading batch dims are allowed on every field.
+    """
+
+    # robot joints, layout (finger-major): [f0j1 f0j2 f0j3 f1j1 ... f2j3]
+    q: jax.Array  # (..., 9) joint positions
+    qd: jax.Array  # (..., 9) joint velocities
+    # free cube
+    cube_pos: jax.Array  # (..., 3)
+    cube_quat: jax.Array  # (..., 4) xyzw
+    cube_linvel: jax.Array  # (..., 3)
+    cube_angvel: jax.Array  # (..., 3)
+
+    @classmethod
+    def default(cls, batch_shape=()) -> "PhysicsState":
+        q0 = jnp.tile(jnp.asarray(tf_model.JOINT_POS_DEFAULT), 3)
+        quat0 = jnp.array([0.0, 0.0, 0.0, 1.0])
+        pos0 = jnp.array([0.0, 0.0, tf_model.CUBE_SIZE / 2])
+
+        def bc(x):
+            return jnp.broadcast_to(x, batch_shape + x.shape)
+
+        return cls(
+            q=bc(q0),
+            qd=jnp.zeros(batch_shape + (9,)),
+            cube_pos=bc(pos0),
+            cube_quat=bc(quat0),
+            cube_linvel=jnp.zeros(batch_shape + (3,)),
+            cube_angvel=jnp.zeros(batch_shape + (3,)),
+        )
+
+
+@struct.dataclass
+class SceneParams:
+    """Physical parameters of the scene.
+
+    Every field may carry a leading env batch dim — this is the domain-
+    randomization surface (the reference's empty ``dr/`` package plus the
+    randomization wish-list at trifinger_env.py:385-392). Scalars broadcast.
+    """
+
+    gravity: jax.Array  # (3,)
+    # robot
+    link_masses: jax.Array  # (3,) per-chain link masses (upper, middle, lower+tip)
+    joint_damping: jax.Array  # (3,) viscous joint damping per finger joint
+    armature: jax.Array  # (3,) rotor armature added to M diagonal
+    torque_limit: jax.Array  # () actuator torque saturation
+    velocity_limit: jax.Array  # () joint velocity clamp
+    # cube
+    cube_mass: jax.Array  # ()
+    cube_half_extents: jax.Array  # (3,)
+    cube_inertia: jax.Array  # (3,) diagonal body-frame inertia
+    cube_linear_damping: jax.Array  # ()
+    cube_angular_damping: jax.Array  # ()
+    # contact materials (already pair-combined)
+    mu_tip_cube: jax.Array  # ()
+    mu_cube_ground: jax.Array  # ()
+    mu_cube_wall: jax.Array  # ()
+    mu_tip_ground: jax.Array  # ()
+    restitution_tip_cube: jax.Array  # ()
+    restitution_cube_ground: jax.Array  # ()
+    restitution_tip_ground: jax.Array  # ()
+    tip_radius: jax.Array  # ()
+    # solver settings (static python numbers would also work, but keeping them
+    # here lets DR perturb e.g. the bounce threshold)
+    bounce_threshold: jax.Array  # () restitution activation velocity
+    # arena
+    wall_radius: jax.Array  # ()
+
+    @classmethod
+    def default(cls) -> "SceneParams":
+        def combine(a, b):
+            # PhysX default pair combine mode: average
+            return 0.5 * (a + b)
+
+        return cls(
+            gravity=jnp.array([0.0, 0.0, -9.81]),
+            link_masses=jnp.asarray(tf_model.LINK_MASSES),
+            joint_damping=jnp.zeros(3),
+            armature=jnp.zeros(3),
+            torque_limit=jnp.asarray(tf_model.MAX_TORQUE_NM),
+            velocity_limit=jnp.asarray(tf_model.MAX_VELOCITY_RADPS),
+            cube_mass=jnp.asarray(tf_model.CUBE_MASS),
+            cube_half_extents=jnp.full(3, tf_model.CUBE_SIZE / 2),
+            cube_inertia=jnp.asarray(
+                tf_model.cube_inertia_diag(tf_model.CUBE_MASS, tf_model.CUBE_SIZE)
+            ),
+            cube_linear_damping=jnp.asarray(tf_model.CUBE_LINEAR_DAMPING),
+            cube_angular_damping=jnp.asarray(tf_model.CUBE_ANGULAR_DAMPING),
+            mu_tip_cube=jnp.asarray(
+                combine(tf_model.ROBOT_FRICTION, tf_model.OBJECT_FRICTION)
+            ),
+            mu_cube_ground=jnp.asarray(
+                combine(tf_model.OBJECT_FRICTION, tf_model.GROUND_FRICTION)
+            ),
+            mu_cube_wall=jnp.asarray(
+                combine(tf_model.OBJECT_FRICTION, tf_model.STAGE_FRICTION)
+            ),
+            mu_tip_ground=jnp.asarray(
+                combine(tf_model.ROBOT_FRICTION, tf_model.GROUND_FRICTION)
+            ),
+            restitution_tip_cube=jnp.asarray(
+                combine(tf_model.ROBOT_RESTITUTION, tf_model.OBJECT_RESTITUTION)
+            ),
+            restitution_cube_ground=jnp.asarray(0.0),
+            restitution_tip_ground=jnp.asarray(
+                combine(tf_model.ROBOT_RESTITUTION, 0.0)
+            ),
+            tip_radius=jnp.asarray(tf_model.TIP_SPHERE_RADIUS),
+            bounce_threshold=jnp.asarray(0.5),
+            wall_radius=jnp.asarray(tf_model.WALL_INNER_RADIUS),
+        )
+
+
+@struct.dataclass
+class SolverConfig:
+    """Static solver configuration (python ints/floats; jit-static)."""
+
+    substeps: int = struct.field(pytree_node=False, default=4)
+    solver_iterations: int = struct.field(pytree_node=False, default=8)
+    baumgarte: float = struct.field(pytree_node=False, default=0.2)
+    contact_slop: float = struct.field(pytree_node=False, default=0.001)
+    joint_limit_lower: tuple = struct.field(
+        pytree_node=False,
+        default=tuple(np.tile(tf_model.JOINT_POS_LOW, 3).tolist()),
+    )
+    joint_limit_upper: tuple = struct.field(
+        pytree_node=False,
+        default=tuple(np.tile(tf_model.JOINT_POS_HIGH, 3).tolist()),
+    )

@@ -1,0 +1,178 @@
+"""Environment-level tests mirroring the reference test strategy
+(tests/test_trifinger_env.py) plus the assertions the reference lacked."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from leibnizgym_tpu.envs import TrifingerEnv
+
+N = 8
+
+
+@pytest.fixture(scope="module")
+def env():
+    return TrifingerEnv(
+        config={"num_instances": N, "command_mode": "torque", "sim": {"substeps": 2}},
+        verbose=False,
+    )
+
+
+@pytest.fixture(scope="module")
+def asym_env():
+    return TrifingerEnv(
+        config={
+            "num_instances": N,
+            "command_mode": "torque",
+            "asymmetric_obs": True,
+            "sim": {"substeps": 2},
+        },
+        verbose=False,
+    )
+
+
+class TestShapes:
+    def test_dims_torque_mode(self, env):
+        assert env.get_obs_dim() == 41
+        assert env.get_action_dim() == 9
+        assert env.get_state_dim() == 0
+
+    def test_dims_asymmetric(self, asym_env):
+        assert asym_env.get_obs_dim() == 41
+        assert asym_env.get_state_dim() == 113
+
+    def test_dims_impedance(self):
+        e = TrifingerEnv(
+            config={"num_instances": 2, "command_mode": "position_impedance",
+                    "sim": {"substeps": 2}},
+            verbose=False,
+        )
+        assert e.get_obs_dim() == 50
+        assert e.get_action_dim() == 18
+
+
+class TestRollout:
+    def test_reset_and_step(self, env):
+        obs = env.reset()
+        assert obs.shape == (N, 41)
+        assert bool(jnp.isfinite(obs).all())
+        a = jnp.zeros((N, 9))
+        obs, rew, dones, info = env.step(a)
+        assert obs.shape == (N, 41)
+        assert rew.shape == (N,)
+        assert dones.shape == (N,)
+        assert "env/rewards/object_dist" in info
+
+    def test_normalized_obs_bounded(self, env):
+        env.reset()
+        key = jax.random.PRNGKey(0)
+        for _ in range(20):
+            key, k = jax.random.split(key)
+            a = jax.random.uniform(k, (N, 9), minval=-1, maxval=1)
+            obs, *_ = env.step(a)
+        # most dims normalized to [-1, 1]; dof velocities may briefly exceed
+        assert float(jnp.abs(obs).max()) < 5.0
+
+    def test_action_shape_validated(self, env):
+        env.reset()
+        with pytest.raises(ValueError):
+            env.step(jnp.zeros((N, 3)))
+
+    def test_determinism_same_seed(self):
+        def rollout():
+            e = TrifingerEnv(
+                config={"num_instances": 4, "seed": 42, "command_mode": "torque",
+                        "sim": {"substeps": 2}},
+                verbose=False,
+            )
+            obs = e.reset()
+            traj = [obs]
+            key = jax.random.PRNGKey(7)
+            for _ in range(10):
+                key, k = jax.random.split(key)
+                a = jax.random.uniform(k, (4, 9), minval=-1, maxval=1)
+                obs, rew, dones, _ = e.step(a)
+                traj.append(obs)
+            return np.stack([np.asarray(o) for o in traj])
+
+        t1, t2 = rollout(), rollout()
+        assert np.array_equal(t1, t2), "fixed-seed rollouts must be bit-identical"
+
+    def test_timeout_resets(self):
+        e = TrifingerEnv(
+            config={"num_instances": 4, "episode_length": 5, "command_mode": "torque",
+                    "sim": {"substeps": 2}},
+            verbose=False,
+        )
+        e.reset()
+        a = jnp.zeros((4, 9))
+        for i in range(5):
+            obs, rew, dones, _ = e.step(a)
+        assert bool(e.state.reset_buf.all()), "all envs should be flagged for reset"
+        # next step performs the reset
+        obs, rew, dones, _ = e.step(a)
+        assert int(e.state.steps_count.max()) == 1
+
+    def test_asymmetric_states(self, asym_env):
+        asym_env.reset()
+        obs, rew, dones, info = asym_env.step(jnp.zeros((N, 9)))
+        st = asym_env.get_state()
+        assert st.shape == (N, 113)
+        assert bool(jnp.isfinite(st).all())
+
+
+class TestGoalSampling:
+    @pytest.mark.parametrize("difficulty", [-1, 1, 2, 3, 4])
+    def test_difficulties(self, difficulty):
+        e = TrifingerEnv(
+            config={"num_instances": 16, "task_difficulty": difficulty,
+                    "command_mode": "torque", "sim": {"substeps": 2}},
+            verbose=False,
+        )
+        e.reset()
+        goal = np.asarray(e.state.goal_pose)
+        if difficulty == 1:
+            assert np.allclose(goal[:, 2], 0.0325, atol=1e-5)
+            assert np.allclose(goal[:, 3:7], [0, 0, 0, 1], atol=1e-6)
+        elif difficulty == 2:
+            assert np.allclose(goal[:, 0:2], 0.0, atol=1e-6)
+            assert np.allclose(goal[:, 2], 0.0325 + 0.05, atol=1e-5)
+        elif difficulty == 3:
+            assert goal[:, 2].min() >= 0.0325 - 1e-6
+            assert goal[:, 2].max() <= 0.1 + 1e-6
+        elif difficulty == 4:
+            # fully random orientation: some quats far from identity
+            assert np.abs(goal[:, 3:6]).max() > 0.1
+
+
+class TestCommandModes:
+    @pytest.mark.parametrize("mode", ["torque", "position", "position_impedance"])
+    def test_modes_run(self, mode):
+        dim = 18 if mode == "position_impedance" else 9
+        e = TrifingerEnv(
+            config={"num_instances": 4, "command_mode": mode, "sim": {"substeps": 2}},
+            verbose=False,
+        )
+        e.reset()
+        obs, rew, dones, _ = e.step(jnp.zeros((4, dim)))
+        assert bool(jnp.isfinite(obs).all())
+
+
+class TestGoalMovement:
+    def test_rotating_goal(self):
+        e = TrifingerEnv(
+            config={
+                "num_instances": 4,
+                "command_mode": "torque",
+                "goal_movement": {"rotation": {"activate": True, "rate_magnitude": 2.0}},
+                "sim": {"substeps": 2},
+            },
+            verbose=False,
+        )
+        e.reset()
+        g0 = np.asarray(e.state.goal_pose[:, 3:7]).copy()
+        for _ in range(10):
+            e.step(jnp.zeros((4, 9)))
+        g1 = np.asarray(e.state.goal_pose[:, 3:7])
+        assert not np.allclose(g0, g1, atol=1e-4), "goal orientation should rotate"

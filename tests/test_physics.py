@@ -1,0 +1,212 @@
+"""Physics engine tests: kinematics, dynamics, and contact behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from leibnizgym_tpu.models import trifinger as tf_model
+from leibnizgym_tpu.ops import dynamics as D
+from leibnizgym_tpu.ops import kinematics as K
+from leibnizgym_tpu.ops.engine import physics_step
+from leibnizgym_tpu.ops.types import PhysicsState, SceneParams, SolverConfig
+
+GRAV = jnp.array([0.0, 0.0, -9.81])
+
+
+class TestKinematics:
+    def test_zero_pose_tip(self):
+        """Hand-computed FK at q=0 from the URDF chain offsets."""
+        fk = K.finger_fk(jnp.zeros(3))
+        expected = np.array([0.01685 + 0.04922 + 0.0185, 0.0505, -0.16 - 0.1626])
+        assert np.allclose(np.asarray(fk.tip_pos), expected, atol=1e-6)
+
+    def test_default_pose_tips_above_table(self):
+        q9 = jnp.tile(jnp.asarray(tf_model.JOINT_POS_DEFAULT), 3)
+        tips, _, _ = K.all_tips_world(q9)
+        tips = np.asarray(tips)
+        assert np.all(tips[:, 2] > 0.0)  # above the table
+        assert np.all(np.hypot(tips[:, 0], tips[:, 1]) < 0.195)  # inside arena
+        # three-fold symmetry: all tips at the same radius and height
+        r = np.hypot(tips[:, 0], tips[:, 1])
+        assert np.allclose(r, r[0], atol=1e-6)
+        assert np.allclose(tips[:, 2], tips[0, 2], atol=1e-6)
+
+    def test_jacobian_matches_autodiff(self):
+        q = jnp.array([0.3, 0.7, -1.2])
+        jac = K.tip_jacobian(K.finger_fk(q))
+        jac_ad = jax.jacfwd(lambda qq: K.finger_fk(qq).tip_pos)(q)
+        assert np.allclose(np.asarray(jac), np.asarray(jac_ad), atol=1e-5)
+
+    def test_batched_fk_consistent(self):
+        qs = jax.random.uniform(jax.random.PRNGKey(0), (16, 3), minval=-1, maxval=1)
+        batched = K.finger_fk(qs).tip_pos
+        single = jnp.stack([K.finger_fk(q).tip_pos for q in qs])
+        assert np.allclose(np.asarray(batched), np.asarray(single), atol=1e-6)
+
+
+class TestDynamics:
+    def test_mass_matrix_spd(self):
+        for seed in range(5):
+            q = jax.random.uniform(jax.random.PRNGKey(seed), (3,), minval=-2, maxval=1.5)
+            m = np.asarray(D.mass_matrix(q))
+            assert np.allclose(m, m.T, atol=1e-7)
+            assert np.linalg.eigvalsh(m).min() > 0
+
+    def test_gravity_equilibrium(self):
+        """Applying tau = dV/dq exactly cancels gravity => qdd = 0."""
+        q = jnp.array([0.1, 0.5, -1.0])
+        tau = jax.grad(lambda qq: D.potential_energy(qq, GRAV))(q)
+        qdd = D.forward_dynamics(q, jnp.zeros(3), tau, GRAV)
+        assert np.allclose(np.asarray(qdd), 0.0, atol=1e-5)
+
+    def test_energy_conservation(self):
+        """Zero torque, no contacts: total energy is conserved."""
+
+        def energy(q, qd):
+            return 0.5 * qd @ D.mass_matrix(q) @ qd + D.potential_energy(q, GRAV)
+
+        @jax.jit
+        def rollout(q, qd):
+            def body(_, c):
+                q, qd = c
+                qdd = D.forward_dynamics(q, qd, jnp.zeros(3), GRAV)
+                qd = qd + 1e-4 * qdd
+                return q + 1e-4 * qd, qd
+
+            return jax.lax.fori_loop(0, 2000, body, (q, qd))
+
+        q0 = jnp.array([0.1, 0.5, -1.0])
+        qd0 = jnp.array([0.2, -0.3, 0.4])
+        q1, qd1 = rollout(q0, qd0)
+        e0, e1 = float(energy(q0, qd0)), float(energy(q1, qd1))
+        assert abs(e1 - e0) / max(abs(e0), 1e-9) < 1e-3
+
+    def test_bias_matches_finite_difference(self):
+        """b(q, qd) from the Lagrangian equals numerical d/dt(M qd) - dT/dq + dV/dq."""
+        q = jnp.array([0.2, 0.6, -0.9])
+        qd = jnp.array([0.5, -0.2, 0.8])
+        b = np.asarray(D.bias_forces(q, qd, GRAV))
+        eps = 1e-5
+
+        def m_qd(qq):
+            return np.asarray(D.mass_matrix(jnp.asarray(qq)) @ qd)
+
+        dmqd = np.stack(
+            [(m_qd(np.asarray(q) + eps * np.eye(3)[i]) - m_qd(np.asarray(q) - eps * np.eye(3)[i]))
+             / (2 * eps) for i in range(3)], axis=1)
+
+        def kin(qq):
+            return float(0.5 * qd @ D.mass_matrix(jnp.asarray(qq)) @ qd)
+
+        def pot(qq):
+            return float(D.potential_energy(jnp.asarray(qq), GRAV))
+
+        grad_t = np.array([(kin(np.asarray(q) + eps * np.eye(3)[i]) - kin(np.asarray(q) - eps * np.eye(3)[i])) / (2 * eps) for i in range(3)])
+        grad_v = np.array([(pot(np.asarray(q) + eps * np.eye(3)[i]) - pot(np.asarray(q) - eps * np.eye(3)[i])) / (2 * eps) for i in range(3)])
+        expected = dmqd @ np.asarray(qd) - grad_t + grad_v
+        # float32 finite differences: tolerance dominated by FD noise
+        assert np.allclose(b, expected, atol=5e-3)
+
+
+@pytest.fixture(scope="module")
+def step_fn():
+    cfg = SolverConfig(substeps=2, solver_iterations=8)
+    return jax.jit(lambda s, t, p: physics_step(s, t, p, cfg, 0.02))
+
+
+class TestContacts:
+    def test_cube_drop_and_rest(self, step_fn):
+        """Cube dropped from above settles at z = half-size on the ground."""
+        params = SceneParams.default()
+        state = PhysicsState.default(()).replace(
+            cube_pos=jnp.array([0.0, 0.0, 0.1]),
+            q=jnp.tile(jnp.asarray(tf_model.JOINT_POS_DEFAULT), 3),
+        )
+        tau_g = gravity_hold_torque()
+        for _ in range(100):
+            state, _ = step_fn(state, tau_g, params)
+        z = float(state.cube_pos[2])
+        assert abs(z - 0.0325) < 3e-3, f"cube rest height {z}"
+        assert float(jnp.linalg.norm(state.cube_linvel)) < 0.05
+
+    def test_cube_stays_in_arena(self, step_fn):
+        """Cube slid outward is stopped by the boundary wall."""
+        params = SceneParams.default()
+        state = PhysicsState.default(()).replace(
+            cube_pos=jnp.array([0.12, 0.0, 0.0325]),
+            cube_linvel=jnp.array([1.0, 0.0, 0.0]),
+            q=jnp.tile(jnp.asarray(tf_model.JOINT_POS_DEFAULT), 3),
+        )
+        tau_g = gravity_hold_torque()
+        for _ in range(100):
+            state, _ = step_fn(state, tau_g, params)
+        rho = float(jnp.linalg.norm(state.cube_pos[0:2]))
+        assert rho < float(params.wall_radius) + 0.01
+
+    def test_ground_friction_stops_sliding(self, step_fn):
+        params = SceneParams.default()
+        state = PhysicsState.default(()).replace(
+            cube_pos=jnp.array([-0.1, 0.0, 0.0325]),
+            cube_linvel=jnp.array([0.5, 0.0, 0.0]),
+            q=jnp.tile(jnp.asarray(tf_model.JOINT_POS_DEFAULT), 3),
+        )
+        tau_g = gravity_hold_torque()
+        # mu ~ 0.55 => decel 5.4 m/s^2 => stops within ~0.1 s
+        for _ in range(25):
+            state, _ = step_fn(state, tau_g, params)
+        assert float(jnp.linalg.norm(state.cube_linvel[0:2])) < 0.05
+
+    def test_joint_limits_enforced(self, step_fn):
+        params = SceneParams.default()
+        state = PhysicsState.default(()).replace(
+            q=jnp.tile(jnp.asarray(tf_model.JOINT_POS_DEFAULT), 3),
+        )
+        tau = jnp.full(9, 0.36)  # slam into upper limits
+        for _ in range(100):
+            state, _ = step_fn(state, tau, params)
+        q = np.asarray(state.q)
+        lower = np.tile(tf_model.JOINT_POS_LOW, 3)
+        upper = np.tile(tf_model.JOINT_POS_HIGH, 3)
+        assert np.all(q >= lower - 1e-5) and np.all(q <= upper + 1e-5)
+
+    def test_tip_pushes_cube(self, step_fn):
+        """A finger commanded into the cube moves it: tip-cube coupling works."""
+        params = SceneParams.default()
+        # cube placed in front of finger 0's workspace
+        state = PhysicsState.default(()).replace(
+            cube_pos=jnp.array([0.07, 0.05, 0.0325]),
+            q=jnp.tile(jnp.asarray(tf_model.JOINT_POS_DEFAULT), 3),
+        )
+        # push joint 2/3 of finger 0 to extend the finger outward/down
+        tau = jnp.zeros(9).at[1].set(0.3).at[2].set(-0.2)
+        moved = False
+        for _ in range(150):
+            state, wrench = step_fn(state, tau, params)
+            if float(jnp.linalg.norm(state.cube_pos[0:2] - jnp.array([0.07, 0.05]))) > 0.01:
+                moved = True
+                break
+        assert moved, "cube never moved despite finger contact"
+
+    def test_no_nans_under_stress(self, step_fn):
+        params = SceneParams.default()
+        key = jax.random.PRNGKey(0)
+        state = PhysicsState.default(()).replace(
+            cube_pos=jnp.array([0.0, 0.0, 0.0325]),
+        )
+        for i in range(50):
+            key, k = jax.random.split(key)
+            tau = jax.random.uniform(k, (9,), minval=-0.36, maxval=0.36)
+            state, _ = step_fn(state, tau, params)
+        assert bool(jnp.isfinite(state.q).all())
+        assert bool(jnp.isfinite(state.cube_pos).all())
+        assert bool(jnp.isfinite(state.cube_quat).all())
+        assert abs(float(jnp.linalg.norm(state.cube_quat)) - 1.0) < 1e-4
+
+
+def gravity_hold_torque():
+    """Torque that holds the default pose against gravity (keeps fingers out
+    of the way in cube-only tests)."""
+    q = jnp.asarray(tf_model.JOINT_POS_DEFAULT)
+    tau3 = jax.grad(lambda qq: D.potential_energy(qq, GRAV))(q)
+    return jnp.tile(tau3, 3)
