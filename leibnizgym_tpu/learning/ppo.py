@@ -1,0 +1,435 @@
+"""PPO with asymmetric actor-critic — the rl_games-equivalent learner.
+
+Algorithm parity with rl_games a2c_continuous as configured by the reference
+(/root/reference/resources/config/rlg/asymm.yaml:39-91):
+- clipped surrogate (e_clip), critic MSE with critic_coef, bounds loss on mu,
+  optional entropy bonus, global grad-norm clipping
+- GAE(gamma, tau) with the rl_games done-masking convention
+- adaptive learning rate from analytic Gaussian KL against a threshold,
+  updated per minibatch (rl_games AdaptiveScheduler: /1.5 above 2x threshold,
+  x1.5 below 0.5x threshold, clamped to [1e-6, 1e-2])
+- reward shaping by scale_value before GAE
+- separate central-value network trained on privileged states; its values
+  (not the actor tower's critic) drive GAE when asymmetric
+- whole-batch advantage normalization
+
+TPU-first design: one `train_iteration` = rollout (lax.scan over horizon) +
+GAE + minibatched updates (lax.scan over minibatches), all inside a single
+jit — zero host round-trips per epoch. The env axis is shardable; gradients
+are averaged by jit's partitioner via psum when the batch axis is sharded.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from leibnizgym_tpu.envs.trifinger.env import EnvParams, EnvState, EnvStatic, env_step
+from leibnizgym_tpu.models.networks import (
+    ActorCritic,
+    CentralValue,
+    gaussian_entropy,
+    gaussian_kl,
+    gaussian_neglogp,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    """Static hyperparameters (defaults = reference asymm.yaml)."""
+
+    gamma: float = 0.99
+    tau: float = 0.95
+    learning_rate: float = 3e-4
+    lr_schedule: str = "adaptive"
+    kl_threshold: float = 0.008
+    min_lr: float = 1e-6
+    max_lr: float = 1e-2
+    e_clip: float = 0.2
+    horizon: int = 32
+    minibatch_size: int = 8192
+    mini_epochs: int = 4
+    critic_coef: float = 4.0
+    entropy_coef: float = 0.0
+    bounds_loss_coef: float = 1e-4
+    bounds_soft: float = 1.1
+    grad_norm: float = 1.0
+    truncate_grads: bool = True
+    clip_value: bool = False
+    normalize_advantage: bool = True
+    reward_shaper_scale: float = 0.01
+    clip_obs: float = 5.0
+    clip_actions: float = 1.0
+    max_epochs: int = 100000
+    save_best_after: int = 500
+    save_frequency: int = 100
+    # asymmetric central value
+    central_value: bool = True
+    cv_learning_rate: float = 5e-4
+    cv_mini_epochs: int = 4
+    cv_minibatch_size: int = 8192
+    shuffle_minibatches: bool = True
+    units: Tuple[int, ...] = (400, 200, 100)
+
+    @classmethod
+    def from_rlg_params(cls, params: dict, num_actors: int) -> "PPOConfig":
+        """Build from an rl_games-style ``params`` dict (asymm.yaml schema)."""
+        c = params["config"]
+        cv = c.get("central_value_config")
+        units = tuple(params.get("network", {}).get("mlp", {}).get("units", (400, 200, 100)))
+        return cls(
+            gamma=float(c.get("gamma", 0.99)),
+            tau=float(c.get("tau", 0.95)),
+            learning_rate=float(c.get("learning_rate", 3e-4)),
+            lr_schedule=str(c.get("lr_schedule", "adaptive")),
+            kl_threshold=float(c.get("lr_threshold", c.get("kl_threshold", 0.008))),
+            e_clip=float(c.get("e_clip", 0.2)),
+            horizon=int(c.get("steps_num", c.get("horizon_length", 32))),
+            minibatch_size=int(c.get("minibatch_size", num_actors)),
+            mini_epochs=int(c.get("mini_epochs", 4)),
+            critic_coef=float(c.get("critic_coef", 4)),
+            entropy_coef=float(c.get("entropy_coef", 0.0)),
+            bounds_loss_coef=float(c.get("bounds_loss_coef", 1e-4) or 0.0),
+            grad_norm=float(c.get("grad_norm", 1.0)),
+            truncate_grads=bool(c.get("truncate_grads", True)),
+            clip_value=bool(c.get("clip_value", False)),
+            normalize_advantage=bool(c.get("normalize_advantage", True)),
+            reward_shaper_scale=float(
+                c.get("reward_shaper", {}).get("scale_value", 1.0)
+            ),
+            max_epochs=int(c.get("max_epochs", 100000)),
+            save_best_after=int(c.get("save_best_after", 500)),
+            save_frequency=int(c.get("save_frequency", 100)),
+            central_value=cv is not None,
+            cv_learning_rate=float(cv["lr"]) if cv else 5e-4,
+            cv_mini_epochs=int(cv.get("mini_epochs", 4)) if cv else 4,
+            cv_minibatch_size=int(cv.get("minibatch_size", num_actors)) if cv else 8192,
+            units=units,
+        )
+
+
+@struct.dataclass
+class PPOTrainState:
+    ac_params: Any
+    cv_params: Any  # None if not asymmetric
+    ac_opt_state: Any
+    cv_opt_state: Any
+    lr: jax.Array  # adaptive learning rate, ()
+    env_state: EnvState
+    obs: jax.Array  # (N, obs_dim) clipped
+    states: jax.Array  # (N, state_dim)
+    ep_return: jax.Array  # (N,) raw reward accumulator
+    ep_len: jax.Array  # (N,)
+    key: jax.Array
+    epoch: jax.Array  # () int32
+    frame: jax.Array  # () int64-ish counter of env frames
+
+
+def make_networks(cfg: PPOConfig, static: EnvStatic):
+    actor_critic = ActorCritic(action_dim=static.action_dim, units=cfg.units)
+    central_value = CentralValue(units=cfg.units) if (
+        cfg.central_value and static.asymmetric_obs
+    ) else None
+    return actor_critic, central_value
+
+
+def make_optimizers(cfg: PPOConfig):
+    """Adam preconditioner WITHOUT the lr step — the (adaptive) lr is applied
+    by scaling the preconditioned updates, so it can be a traced value."""
+
+    def chain():
+        steps = []
+        if cfg.truncate_grads:
+            steps.append(optax.clip_by_global_norm(cfg.grad_norm))
+        steps.append(optax.scale_by_adam(eps=1e-8))
+        return optax.chain(*steps)
+
+    return chain(), chain()
+
+
+def _apply_lr(updates, lr):
+    return jax.tree.map(lambda u: -lr * u, updates)
+
+
+def init_train_state(
+    cfg: PPOConfig,
+    static: EnvStatic,
+    params: EnvParams,
+    key: jax.Array,
+) -> PPOTrainState:
+    from leibnizgym_tpu.envs.trifinger.env import env_reset
+
+    k_env, k_ac, k_cv, k_rest = jax.random.split(key, 4)
+    env_state, obs = env_reset(static, params, k_env)
+    obs = jnp.clip(obs, -cfg.clip_obs, cfg.clip_obs)
+    actor_critic, central_value = make_networks(cfg, static)
+    ac_params = actor_critic.init(k_ac, obs[:1])
+    ac_tx, cv_tx = make_optimizers(cfg)
+    ac_opt_state = ac_tx.init(ac_params)
+    if central_value is not None:
+        states0 = jnp.zeros((1, static.state_dim))
+        cv_params = central_value.init(k_cv, states0)
+        cv_opt_state = cv_tx.init(cv_params)
+        states = jnp.zeros((static.num_envs, static.state_dim))
+    else:
+        cv_params, cv_opt_state = None, None
+        states = jnp.zeros((static.num_envs, 0))
+    return PPOTrainState(
+        ac_params=ac_params,
+        cv_params=cv_params,
+        ac_opt_state=ac_opt_state,
+        cv_opt_state=cv_opt_state,
+        lr=jnp.asarray(cfg.learning_rate, jnp.float32),
+        env_state=env_state,
+        obs=obs,
+        states=states,
+        ep_return=jnp.zeros(static.num_envs),
+        ep_len=jnp.zeros(static.num_envs, jnp.int32),
+        key=k_rest,
+        epoch=jnp.zeros((), jnp.int32),
+        frame=jnp.zeros((), jnp.int32),
+    )
+
+
+def _gae(cfg: PPOConfig, rewards, values, dones, last_value):
+    """rl_games discount_values: nextnonterminal[t] = 1 - done_after_t."""
+
+    def body(carry, inp):
+        lastgaelam = carry
+        reward, value, done, next_value = inp
+        nonterminal = 1.0 - done
+        delta = reward + cfg.gamma * next_value * nonterminal - value
+        lastgaelam = delta + cfg.gamma * cfg.tau * nonterminal * lastgaelam
+        return lastgaelam, lastgaelam
+
+    next_values = jnp.concatenate([values[1:], last_value[None]], axis=0)
+    _, advs = jax.lax.scan(
+        body,
+        jnp.zeros_like(last_value),
+        (rewards, values, dones.astype(jnp.float32), next_values),
+        reverse=True,
+    )
+    return advs
+
+
+def train_iteration(
+    cfg: PPOConfig,
+    static: EnvStatic,
+    env_params: EnvParams,
+    ts: PPOTrainState,
+) -> Tuple[PPOTrainState, Dict[str, jax.Array]]:
+    """One PPO epoch: rollout horizon steps, GAE, minibatched updates."""
+    actor_critic, central_value = make_networks(cfg, static)
+    ac_tx, cv_tx = make_optimizers(cfg)
+    n = static.num_envs
+    h = cfg.horizon
+    asym = central_value is not None
+
+    # ---------------- rollout ------------------------------------------------
+    def rollout_step(carry, _):
+        env_state, obs, states, ep_ret, ep_len, key = carry
+        key, k_act = jax.random.split(key)
+        mu, log_std, _own_value = actor_critic.apply(ts.ac_params, obs)
+        noise = jax.random.normal(k_act, mu.shape)
+        action = mu + jnp.exp(log_std) * noise
+        neglogp = gaussian_neglogp(mu, log_std, action)
+        if asym:
+            value = central_value.apply(ts.cv_params, states)
+        else:
+            value = _own_value
+        clipped = jnp.clip(action, -cfg.clip_actions, cfg.clip_actions)
+        env_state, next_obs, next_states, reward, done, info = env_step(
+            static, env_params, env_state, clipped
+        )
+        next_obs = jnp.clip(next_obs, -cfg.clip_obs, cfg.clip_obs)
+        if asym:
+            next_states = jnp.clip(next_states, -cfg.clip_obs, cfg.clip_obs)
+        shaped = reward * cfg.reward_shaper_scale
+
+        # episode tracking on raw rewards; an env flagged for reset finishes
+        # its episode this step (the reset applies at the next step's start)
+        ep_ret = ep_ret + reward
+        ep_len = ep_len + 1
+        finished = env_state.reset_buf
+        fin_ret_sum = jnp.sum(jnp.where(finished, ep_ret, 0.0))
+        fin_cnt = jnp.sum(finished)
+        ep_ret = jnp.where(finished, 0.0, ep_ret)
+        ep_len = jnp.where(finished, 0, ep_len)
+
+        out = (obs, states, action, mu, log_std, neglogp, value, shaped,
+               done.astype(jnp.float32), fin_ret_sum, fin_cnt, info)
+        return (env_state, next_obs, next_states, ep_ret, ep_len, key), out
+
+    carry0 = (ts.env_state, ts.obs, ts.states, ts.ep_return, ts.ep_len, ts.key)
+    carry, traj = jax.lax.scan(rollout_step, carry0, None, length=h)
+    env_state, last_obs, last_states, ep_ret, ep_len, key = carry
+    (b_obs, b_states, b_action, b_mu, b_log_std, b_neglogp, b_value, b_reward,
+     b_done, fin_ret_sums, fin_cnts, infos) = traj
+
+    if asym:
+        last_value = central_value.apply(ts.cv_params, last_states)
+    else:
+        _, _, last_value = actor_critic.apply(ts.ac_params, last_obs)
+
+    advs = _gae(cfg, b_reward, b_value, b_done, last_value)
+    returns = advs + b_value
+
+    # ---------------- flatten + normalize -----------------------------------
+    batch = h * n
+
+    def flat(x):
+        return x.reshape((batch,) + x.shape[2:])
+
+    f_obs, f_states, f_action, f_mu, f_log_std, f_neglogp, f_value = map(
+        flat, (b_obs, b_states, b_action, b_mu, b_log_std, b_neglogp, b_value)
+    )
+    f_returns, f_advs = flat(returns), flat(advs)
+    if cfg.normalize_advantage:
+        f_advs = (f_advs - f_advs.mean()) / (f_advs.std() + 1e-8)
+
+    # ---------------- actor-critic minibatch updates -------------------------
+    num_mb = max(batch // cfg.minibatch_size, 1)
+    mb_size = batch // num_mb
+
+    def loss_fn(ac_params, mb, lr_unused):
+        mu, log_std, value = actor_critic.apply(ac_params, mb["obs"])
+        neglogp = gaussian_neglogp(mu, log_std, mb["action"])
+        ratio = jnp.exp(mb["neglogp"] - neglogp)
+        surr1 = -mb["advs"] * ratio
+        surr2 = -mb["advs"] * jnp.clip(ratio, 1.0 - cfg.e_clip, 1.0 + cfg.e_clip)
+        a_loss = jnp.mean(jnp.maximum(surr1, surr2))
+        if cfg.clip_value:
+            v_clipped = mb["value"] + jnp.clip(
+                value - mb["value"], -cfg.e_clip, cfg.e_clip
+            )
+            c_loss = jnp.mean(
+                jnp.maximum(
+                    jnp.square(value - mb["returns"]),
+                    jnp.square(v_clipped - mb["returns"]),
+                )
+            )
+        else:
+            c_loss = jnp.mean(jnp.square(value - mb["returns"]))
+        entropy = jnp.mean(gaussian_entropy(log_std))
+        mu_high = jnp.square(jnp.maximum(mu - cfg.bounds_soft, 0.0))
+        mu_low = jnp.square(jnp.minimum(mu + cfg.bounds_soft, 0.0))
+        b_loss = jnp.mean(jnp.sum(mu_high + mu_low, axis=-1))
+        total = (
+            a_loss
+            + 0.5 * c_loss * cfg.critic_coef
+            - cfg.entropy_coef * entropy
+            + cfg.bounds_loss_coef * b_loss
+        )
+        kl = gaussian_kl(mb["mu"], mb["log_std"], mu, log_std)
+        return total, (a_loss, c_loss, entropy, b_loss, kl)
+
+    data = {
+        "obs": f_obs, "action": f_action, "mu": f_mu, "log_std": f_log_std,
+        "neglogp": f_neglogp, "advs": f_advs, "returns": f_returns,
+        "value": f_value,
+    }
+
+    def mb_update(carry, idx):
+        ac_params, opt_state, lr, key = carry
+        mb = jax.tree.map(lambda x: jnp.take(x, idx, axis=0), data)
+        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            ac_params, mb, lr
+        )
+        updates, opt_state = ac_tx.update(grads, opt_state, ac_params)
+        ac_params = optax.apply_updates(ac_params, _apply_lr(updates, lr))
+        a_loss, c_loss, entropy, b_loss, kl = aux
+        if cfg.lr_schedule == "adaptive":
+            lr = jnp.where(kl > 2.0 * cfg.kl_threshold,
+                           jnp.maximum(lr / 1.5, cfg.min_lr), lr)
+            lr = jnp.where(kl < 0.5 * cfg.kl_threshold,
+                           jnp.minimum(lr * 1.5, cfg.max_lr), lr)
+        return (ac_params, opt_state, lr, key), (total, a_loss, c_loss, entropy, kl)
+
+    ac_params, ac_opt_state, lr = ts.ac_params, ts.ac_opt_state, ts.lr
+    metrics_acc = []
+    for _ in range(cfg.mini_epochs):
+        key, k_perm = jax.random.split(key)
+        if cfg.shuffle_minibatches:
+            perm = jax.random.permutation(k_perm, batch)
+        else:
+            perm = jnp.arange(batch)
+        idxs = perm[: num_mb * mb_size].reshape(num_mb, mb_size)
+        (ac_params, ac_opt_state, lr, key), ep_metrics = jax.lax.scan(
+            mb_update, (ac_params, ac_opt_state, lr, key), idxs
+        )
+        metrics_acc.append(ep_metrics)
+
+    total_l, a_l, c_l, ent, kl = jax.tree.map(
+        lambda *xs: jnp.mean(jnp.stack(xs)), *metrics_acc
+    )
+
+    # ---------------- central value training ---------------------------------
+    cv_params, cv_opt_state = ts.cv_params, ts.cv_opt_state
+    cv_loss_mean = jnp.asarray(0.0)
+    if asym:
+        cv_num_mb = max(batch // cfg.cv_minibatch_size, 1)
+        cv_mb = batch // cv_num_mb
+
+        def cv_loss_fn(p, s, r):
+            v = central_value.apply(p, s)
+            return jnp.mean(jnp.square(v - r))
+
+        def cv_update(carry, idx):
+            p, opt, key = carry
+            s = jnp.take(f_states, idx, axis=0)
+            r = jnp.take(f_returns, idx, axis=0)
+            loss, grads = jax.value_and_grad(cv_loss_fn)(p, s, r)
+            updates, opt = cv_tx.update(grads, opt, p)
+            p = optax.apply_updates(p, _apply_lr(updates, jnp.asarray(cfg.cv_learning_rate)))
+            return (p, opt, key), loss
+
+        losses = []
+        for _ in range(cfg.cv_mini_epochs):
+            key, k_perm = jax.random.split(key)
+            perm = jax.random.permutation(k_perm, batch)
+            idxs = perm[: cv_num_mb * cv_mb].reshape(cv_num_mb, cv_mb)
+            (cv_params, cv_opt_state, key), ls = jax.lax.scan(
+                cv_update, (cv_params, cv_opt_state, key), idxs
+            )
+            losses.append(ls)
+        cv_loss_mean = jnp.mean(jnp.stack(losses))
+
+    # ---------------- pack ----------------------------------------------------
+    frame = ts.frame + h * n
+    new_ts = ts.replace(
+        ac_params=ac_params,
+        cv_params=cv_params,
+        ac_opt_state=ac_opt_state,
+        cv_opt_state=cv_opt_state,
+        lr=lr,
+        env_state=env_state,
+        obs=last_obs,
+        states=last_states,
+        ep_return=ep_ret,
+        ep_len=ep_len,
+        key=key,
+        epoch=ts.epoch + 1,
+        frame=frame,
+    )
+    last_info = jax.tree.map(lambda x: x[-1], infos)
+    metrics = {
+        "losses/total": total_l,
+        "losses/a_loss": a_l,
+        "losses/c_loss": c_l,
+        "losses/entropy": ent,
+        "losses/cv_loss": cv_loss_mean,
+        "info/kl": kl,
+        "info/lr": lr,
+        "info/epochs": new_ts.epoch.astype(jnp.float32),
+        "info/frames": frame.astype(jnp.float32),
+        "rewards/step_mean": jnp.mean(b_reward) / cfg.reward_shaper_scale,
+        "episodes/finished_return_sum": jnp.sum(fin_ret_sums),
+        "episodes/finished_count": jnp.sum(fin_cnts).astype(jnp.float32),
+        **last_info,
+    }
+    return new_ts, metrics

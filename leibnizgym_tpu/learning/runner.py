@@ -1,0 +1,227 @@
+"""Training runner: the rl_games ``Runner`` equivalent.
+
+Replaces the external rl_games Runner + RlGamesGpuEnvAdapter + observer stack
+(reference rlg_train.py:89-252) with a single class: it owns the env, the
+jitted PPO iteration, TensorBoard metric logging (LeibnizAlgoObserver parity),
+Orbax checkpointing (nn/ directory parity), and the play/inference path.
+"""
+
+from __future__ import annotations
+
+import collections
+import os
+import time
+from datetime import datetime
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from leibnizgym_tpu.envs.trifinger.env import TrifingerEnv
+from leibnizgym_tpu.learning.ppo import (
+    PPOConfig,
+    PPOTrainState,
+    init_train_state,
+    make_networks,
+    train_iteration,
+)
+from leibnizgym_tpu.utils import print_info, print_notify, print_warn
+
+try:
+    from tensorboardX import SummaryWriter
+except ImportError:  # pragma: no cover
+    SummaryWriter = None
+
+
+class AverageMeter:
+    """Mean over the last ``maxlen`` completed games (rl_games parity)."""
+
+    def __init__(self, maxlen: int = 100):
+        self._buf = collections.deque(maxlen=maxlen)
+
+    def update(self, values):
+        self._buf.extend(np.atleast_1d(values).tolist())
+
+    @property
+    def current_size(self):
+        return len(self._buf)
+
+    def get_mean(self):
+        return float(np.mean(self._buf)) if self._buf else 0.0
+
+
+class Runner:
+    """Owns env + learner; trains or plays."""
+
+    def __init__(
+        self,
+        task_cfg: dict,
+        agent_params: dict,
+        logdir: str = "logs",
+        seed: int = 7,
+        verbose: bool = False,
+    ):
+        self.verbose = verbose
+        num_actors = int(task_cfg.get("num_instances", 256))
+        self.ppo_cfg = PPOConfig.from_rlg_params(agent_params, num_actors)
+        self.env = TrifingerEnv(config=task_cfg, verbose=verbose)
+        self.static, self.env_params = self.env.static, self.env.params
+        self.seed = seed
+
+        # log directories (reference run_rlg:219-246: nn/, runs/, timestamped)
+        stamp = datetime.now().strftime("%m-%d-%Y-%H-%M-%S")
+        self.logdir = os.path.join(logdir, stamp)
+        self.nn_dir = os.path.join(self.logdir, "nn")
+        os.makedirs(self.nn_dir, exist_ok=True)
+        with open(os.path.join(self.logdir, "agent_config.yaml"), "w") as f:
+            yaml.dump(agent_params, f)
+        self.env.dump_config(os.path.join(self.logdir, "env_config.yaml"))
+        self.writer = (
+            SummaryWriter(os.path.join(self.logdir, "summaries"))
+            if SummaryWriter is not None
+            else None
+        )
+        print_notify(f"Saving logs at: {self.logdir}")
+
+        self._train_iter = jax.jit(train_iteration, static_argnums=(0, 1))
+        self.game_rewards = AverageMeter(100)
+        self.ts: Optional[PPOTrainState] = None
+
+    # ------------------------------------------------------------------ setup
+
+    def reset(self):
+        key = jax.random.PRNGKey(self.seed)
+        self.ts = init_train_state(self.ppo_cfg, self.static, self.env_params, key)
+
+    # ----------------------------------------------------------- checkpointing
+
+    def save(self, name: str):
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.nn_dir, name))
+        ckptr = ocp.StandardCheckpointer()
+        payload = {
+            "ac_params": self.ts.ac_params,
+            "cv_params": self.ts.cv_params,
+            "lr": self.ts.lr,
+            "epoch": self.ts.epoch,
+            "frame": self.ts.frame,
+        }
+        ckptr.save(path, payload, force=True)
+        ckptr.wait_until_finished()
+        return path
+
+    def restore(self, path: str):
+        import orbax.checkpoint as ocp
+
+        if self.ts is None:
+            self.reset()
+        ckptr = ocp.StandardCheckpointer()
+        template = {
+            "ac_params": self.ts.ac_params,
+            "cv_params": self.ts.cv_params,
+            "lr": self.ts.lr,
+            "epoch": self.ts.epoch,
+            "frame": self.ts.frame,
+        }
+        payload = ckptr.restore(os.path.abspath(path), template)
+        self.ts = self.ts.replace(
+            ac_params=payload["ac_params"],
+            cv_params=payload["cv_params"],
+            lr=payload["lr"],
+            epoch=payload["epoch"],
+            frame=payload["frame"],
+        )
+        print_info(f"Restored checkpoint: {path}")
+
+    # ---------------------------------------------------------------- training
+
+    def train(self, max_epochs: Optional[int] = None):
+        if self.ts is None:
+            self.reset()
+        cfg = self.ppo_cfg
+        epochs = max_epochs if max_epochs is not None else cfg.max_epochs
+        best_reward = -float("inf")
+        t_start = time.time()
+        for epoch in range(1, epochs + 1):
+            t0 = time.time()
+            self.ts, metrics = self._train_iter(
+                cfg, self.static, self.env_params, self.ts
+            )
+            metrics = jax.device_get(metrics)
+            dt = time.time() - t0
+            frame = int(metrics["info/frames"])
+            fin_cnt = float(metrics["episodes/finished_count"])
+            if fin_cnt > 0:
+                self.game_rewards.update(
+                    [float(metrics["episodes/finished_return_sum"]) / fin_cnt]
+                    * int(fin_cnt)
+                )
+            fps = cfg.horizon * self.static.num_envs / dt
+            if self.writer is not None:
+                for k, v in metrics.items():
+                    self.writer.add_scalar(k, float(v), frame)
+                self.writer.add_scalar("performance/fps", fps, frame)
+                if self.game_rewards.current_size > 0:
+                    self.writer.add_scalar(
+                        "rewards0/frame", self.game_rewards.get_mean(), frame
+                    )
+            if self.verbose or epoch % 10 == 0:
+                print_info(
+                    f"epoch {epoch}/{epochs} frames {frame} fps {fps:,.0f} "
+                    f"ep_rew {self.game_rewards.get_mean():.1f} "
+                    f"kl {float(metrics['info/kl']):.4f} lr {float(metrics['info/lr']):.2e}"
+                )
+            mean_rew = self.game_rewards.get_mean()
+            if (
+                epoch >= cfg.save_best_after
+                and self.game_rewards.current_size > 0
+                and mean_rew > best_reward
+            ):
+                best_reward = mean_rew
+                self.save("best")
+            if cfg.save_frequency and epoch % cfg.save_frequency == 0:
+                self.save("last")
+        self.save("final")
+        total = time.time() - t_start
+        print_notify(
+            f"Training done: {epochs} epochs, {int(self.ts.frame)} frames, "
+            f"{total:.0f}s, best ep reward {best_reward:.1f}"
+        )
+        return self.game_rewards.get_mean()
+
+    # ---------------------------------------------------------------- playing
+
+    def play(self, checkpoint: Optional[str] = None, num_steps: int = 1000,
+             deterministic: bool = True):
+        """Run the trained policy (reference play path, rlg_hydra README.md:83-97)."""
+        if self.ts is None:
+            self.reset()
+        if checkpoint:
+            self.restore(checkpoint)
+        actor_critic, _ = make_networks(self.ppo_cfg, self.static)
+        cfg = self.ppo_cfg
+
+        @jax.jit
+        def policy(params, obs, key):
+            mu, log_std, _ = actor_critic.apply(params, obs)
+            if deterministic:
+                action = mu
+            else:
+                action = mu + jnp.exp(log_std) * jax.random.normal(key, mu.shape)
+            return jnp.clip(action, -cfg.clip_actions, cfg.clip_actions)
+
+        obs = self.env.reset()
+        key = jax.random.PRNGKey(0)
+        total_reward = np.zeros(self.static.num_envs)
+        for step in range(num_steps):
+            key, k = jax.random.split(key)
+            obs = jnp.clip(obs, -cfg.clip_obs, cfg.clip_obs)
+            action = policy(self.ts.ac_params, obs, k)
+            obs, reward, dones, info = self.env.step(action)
+            total_reward += np.asarray(reward)
+        mean_r = float(total_reward.mean())
+        print_info(f"play: {num_steps} steps, mean accumulated reward {mean_r:.1f}")
+        return mean_r

@@ -1,0 +1,60 @@
+"""Device mesh + sharding helpers for env-axis data parallelism.
+
+Parallelism design (SURVEY.md §2.3 "Parallelism"): the reference is single-
+process single-GPU; scale-out here is new scope. The natural axis for this
+workload is the env batch — rollout physics is embarrassingly parallel, so a
+1-axis ``data`` mesh shards every per-env leaf (EnvState, obs, trajectories)
+while learner parameters stay replicated. Under jit, XLA inserts psum for the
+gradient all-reduce and the few scalar metrics; rollout itself is
+communication-free. ICI carries the all-reduce within a slice; multi-host
+joins via jax.distributed (DCN only at initialization and checkpointing).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), axis_names=(axis_name,))
+
+
+def shard_batch_pytree(tree, mesh: Mesh, batch_size: int, axis_name: str = "data"):
+    """Place every leaf whose leading dim == batch_size on the data axis;
+    replicate everything else (scalars, parameters, RNG keys)."""
+
+    def put(leaf):
+        if (
+            hasattr(leaf, "ndim")
+            and leaf.ndim >= 1
+            and leaf.shape[0] == batch_size
+        ):
+            return jax.device_put(leaf, NamedSharding(mesh, P(axis_name)))
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    return jax.tree.map(put, tree)
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+):
+    """Multi-host entry: call once per process before device use.
+
+    With no arguments, jax.distributed auto-detects the environment (TPU pod
+    metadata); arguments allow manual rendezvous for CPU/GPU test clusters.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)

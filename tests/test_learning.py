@@ -1,0 +1,175 @@
+"""Tests for the PPO learner: GAE math, losses, end-to-end iterations,
+checkpoint round trip, config parsing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from leibnizgym_tpu.config.presets import (
+    GYM_PRESETS,
+    parse_cli,
+    rlg_asymm_config,
+    update_cfg,
+)
+from leibnizgym_tpu.envs.trifinger.env import TrifingerEnv
+from leibnizgym_tpu.learning.ppo import (
+    PPOConfig,
+    _gae,
+    init_train_state,
+    train_iteration,
+)
+from leibnizgym_tpu.models.networks import (
+    ActorCritic,
+    gaussian_entropy,
+    gaussian_kl,
+    gaussian_neglogp,
+)
+
+
+class TestGAE:
+    def test_matches_reference_recursion(self):
+        cfg = PPOConfig(gamma=0.9, tau=0.8)
+        h, n = 5, 3
+        rng = np.random.default_rng(0)
+        rewards = rng.normal(size=(h, n)).astype(np.float32)
+        values = rng.normal(size=(h, n)).astype(np.float32)
+        dones = (rng.random((h, n)) < 0.3).astype(np.float32)
+        last_value = rng.normal(size=(n,)).astype(np.float32)
+
+        advs = np.asarray(_gae(cfg, jnp.asarray(rewards), jnp.asarray(values),
+                               jnp.asarray(dones), jnp.asarray(last_value)))
+
+        # rl_games discount_values recursion
+        expected = np.zeros((h, n), np.float32)
+        lastgaelam = np.zeros(n, np.float32)
+        for t in reversed(range(h)):
+            nextnonterminal = 1.0 - dones[t]
+            nextvalues = last_value if t == h - 1 else values[t + 1]
+            delta = rewards[t] + 0.9 * nextvalues * nextnonterminal - values[t]
+            lastgaelam = delta + 0.9 * 0.8 * nextnonterminal * lastgaelam
+            expected[t] = lastgaelam
+        assert np.allclose(advs, expected, atol=1e-5)
+
+
+class TestDistributions:
+    def test_neglogp_matches_scipy(self):
+        from scipy.stats import norm
+
+        mu = jnp.array([[0.2, -0.5]])
+        log_std = jnp.array([[0.1, -0.3]])
+        action = jnp.array([[0.5, 0.0]])
+        ours = float(gaussian_neglogp(mu, log_std, action)[0])
+        expected = -np.sum(
+            norm.logpdf(np.asarray(action), np.asarray(mu), np.exp(np.asarray(log_std)))
+        )
+        assert abs(ours - expected) < 1e-5
+
+    def test_kl_zero_for_same(self):
+        mu = jnp.ones((4, 9))
+        ls = jnp.zeros((4, 9)) - 0.5
+        assert abs(float(gaussian_kl(mu, ls, mu, ls))) < 1e-7
+
+    def test_entropy(self):
+        ls = jnp.zeros((1, 2))
+        expected = 2 * 0.5 * np.log(2 * np.pi * np.e)
+        assert abs(float(gaussian_entropy(ls)[0]) - expected) < 1e-5
+
+
+@pytest.fixture(scope="module")
+def small_setup():
+    env = TrifingerEnv(
+        config={"num_instances": 16, "command_mode": "torque",
+                "asymmetric_obs": True, "sim": {"substeps": 2}},
+        verbose=False,
+    )
+    cfg = PPOConfig(horizon=4, minibatch_size=32, mini_epochs=2,
+                    cv_minibatch_size=32, cv_mini_epochs=2)
+    ts = init_train_state(cfg, env.static, env.params, jax.random.PRNGKey(0))
+    return env, cfg, ts
+
+
+class TestTrainIteration:
+    def test_two_iterations_finite_and_params_move(self, small_setup):
+        env, cfg, ts = small_setup
+        step = jax.jit(train_iteration, static_argnums=(0, 1))
+        p0 = jax.tree.map(lambda x: np.asarray(x).copy(), ts.ac_params)
+        for _ in range(2):
+            ts, metrics = step(cfg, env.static, env.params, ts)
+        m = jax.device_get(metrics)
+        assert all(np.isfinite(float(v)) for v in m.values())
+        moved = jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            p0, ts.ac_params)
+        assert max(jax.tree.leaves(moved)) > 0, "parameters did not update"
+        assert int(ts.frame) == 2 * cfg.horizon * 16
+
+    def test_symmetric_mode(self):
+        env = TrifingerEnv(
+            config={"num_instances": 8, "command_mode": "torque",
+                    "sim": {"substeps": 2}},
+            verbose=False,
+        )
+        cfg = PPOConfig(horizon=4, minibatch_size=16, mini_epochs=1,
+                        central_value=False)
+        ts = init_train_state(cfg, env.static, env.params, jax.random.PRNGKey(0))
+        ts, metrics = jax.jit(train_iteration, static_argnums=(0, 1))(
+            cfg, env.static, env.params, ts)
+        assert np.isfinite(float(metrics["losses/total"]))
+
+
+class TestConfig:
+    def test_from_rlg_params(self):
+        cfg = PPOConfig.from_rlg_params(rlg_asymm_config()["params"], 8192)
+        assert cfg.gamma == 0.99 and cfg.tau == 0.95
+        assert cfg.horizon == 32 and cfg.minibatch_size == 8192
+        assert cfg.critic_coef == 4 and cfg.bounds_loss_coef == 1e-4
+        assert cfg.central_value and cfg.cv_learning_rate == 5e-4
+        assert cfg.reward_shaper_scale == 0.01
+
+    def test_parse_cli_overrides(self):
+        cfg = parse_cli(["gym=trifinger_difficulty_4", "args.num_envs=128",
+                         "rlg.params.config.minibatch_size=64"])
+        cfg = update_cfg(cfg)
+        assert cfg["gym"]["task_difficulty"] == 4
+        # update_cfg propagates num_envs into minibatch (reference behavior)
+        assert cfg["rlg"]["params"]["config"]["minibatch_size"] == 128
+        assert cfg["gym"]["num_instances"] == 128
+        assert cfg["gym"]["asymmetric_obs"] is True
+
+    def test_difficulty4_preset_rewards(self):
+        d4 = GYM_PRESETS["trifinger_difficulty_4"]
+        assert d4["reward_terms"]["object_rot"]["activate"] is True
+        assert d4["reward_terms"]["object_rot"]["weight"] == 2000
+        assert d4["reward_terms"]["finger_reach_object_rate"]["thresh_sched_end"] == 1e7
+
+    def test_unknown_preset_rejected(self):
+        with pytest.raises(ValueError):
+            parse_cli(["gym=nonexistent"])
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, small_setup, tmp_path):
+        import orbax.checkpoint as ocp
+
+        env, cfg, ts = small_setup
+        payload = {"ac_params": ts.ac_params, "epoch": ts.epoch}
+        ckptr = ocp.StandardCheckpointer()
+        path = str(tmp_path / "ckpt")
+        ckptr.save(path, payload, force=True)
+        ckptr.wait_until_finished()
+        restored = ckptr.restore(path, payload)
+        chex_equal = jax.tree.map(
+            lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+            payload["ac_params"], restored["ac_params"])
+        assert all(jax.tree.leaves(chex_equal))
+
+
+class TestNetworks:
+    def test_actor_critic_shapes(self):
+        net = ActorCritic(action_dim=9)
+        params = net.init(jax.random.PRNGKey(0), jnp.zeros((2, 41)))
+        mu, log_std, value = net.apply(params, jnp.zeros((7, 41)))
+        assert mu.shape == (7, 9) and log_std.shape == (7, 9) and value.shape == (7,)
+        # fixed sigma init 0 (const_initializer val 0)
+        assert np.allclose(np.asarray(log_std), 0.0)
