@@ -46,6 +46,7 @@ from leibnizgym_tpu.envs.trifinger.rewards import (
 )
 from leibnizgym_tpu.models import trifinger as tf_model
 from leibnizgym_tpu.ops.engine import physics_step
+from leibnizgym_tpu.ops.engine_v2 import physics_step_v2
 from leibnizgym_tpu.ops.kinematics import (
     MOUNT_ROTS,
     all_tips_world,
@@ -96,6 +97,7 @@ class EnvStatic:
     control_decimation: int
     dt: float
     dr_activate: bool
+    engine: str  # "soa" (TPU-optimized scalar layout) | "reference"
     reward_specs: Tuple[RewardTermSpec, ...]
     solver: SolverConfig
 
@@ -176,6 +178,11 @@ def build_static(config: dict) -> EnvStatic:
     rs = config["reset_distribution"]
     term = config["termination_conditions"]["success"]
     sim = config["sim"]
+    engine = str(config.get("engine", "soa"))
+    if engine not in ("soa", "reference"):
+        raise ValueError(
+            f"Invalid engine: {engine!r} not in ['soa', 'reference']."
+        )
     specs = build_reward_specs(config["reward_terms"])
     solver = SolverConfig(
         substeps=int(sim["substeps"]),
@@ -205,6 +212,7 @@ def build_static(config: dict) -> EnvStatic:
         control_decimation=int(config["control_decimation"]),
         dt=float(sim["dt"]),
         dr_activate=bool(config.get("domain_randomization", {}).get("activate", False)),
+        engine=engine,
         reward_specs=tuple(specs[name] for name in sorted(specs)),
         solver=solver,
     )
@@ -421,15 +429,17 @@ def compute_torque(
 # ---------------------------------------------------------------------------
 
 _batched_physics_step = jax.vmap(physics_step, in_axes=(0, 0, 0, None, None))
+_batched_physics_step_v2 = jax.vmap(physics_step_v2, in_axes=(0, 0, 0, None, None))
 
 
 def _simulate(static: EnvStatic, physics: PhysicsState, tau: jax.Array,
               scene: SceneParams, n_calls: int):
+    step = (
+        _batched_physics_step_v2 if static.engine == "soa" else _batched_physics_step
+    )
     wrench = jnp.zeros((tau.shape[0], 3, 6))
     for _ in range(n_calls):
-        physics, wrench = _batched_physics_step(
-            physics, tau, scene, static.solver, static.dt
-        )
+        physics, wrench = step(physics, tau, scene, static.solver, static.dt)
     return physics, wrench
 
 

@@ -1,0 +1,206 @@
+"""Python bindings for the native URDF parser + kinematic-chain assembly.
+
+Replaces the IsaacGym URDF importer capability (reference
+trifinger_env.py:855-953: gym.load_asset + rigid body/dof introspection):
+parses any URDF in the robot_properties_fingers family into flat model
+tables. The C++ parser (native/urdf_parser.cpp) is built on demand with make
+and loaded via ctypes; the built-in trifingerpro constants in
+``models.trifinger`` remain the validated defaults (tests cross-check the
+parser against them).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import dataclasses
+import os
+import subprocess
+from typing import Dict, List, Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libleibniz_urdf.so"))
+
+
+class _UrdfLink(ctypes.Structure):
+    _fields_ = [
+        ("name", ctypes.c_char * 128),
+        ("mass", ctypes.c_double),
+        ("com", ctypes.c_double * 3),
+        ("com_rpy", ctypes.c_double * 3),
+        ("inertia", ctypes.c_double * 6),
+        ("density", ctypes.c_double),
+        ("geom_type", ctypes.c_int),
+        ("geom_size", ctypes.c_double * 3),
+        ("num_collisions", ctypes.c_int),
+    ]
+
+
+class _UrdfJoint(ctypes.Structure):
+    _fields_ = [
+        ("name", ctypes.c_char * 128),
+        ("parent", ctypes.c_char * 128),
+        ("child", ctypes.c_char * 128),
+        ("type", ctypes.c_int),
+        ("origin_xyz", ctypes.c_double * 3),
+        ("origin_rpy", ctypes.c_double * 3),
+        ("axis", ctypes.c_double * 3),
+        ("limit_lower", ctypes.c_double),
+        ("limit_upper", ctypes.c_double),
+        ("limit_effort", ctypes.c_double),
+        ("limit_velocity", ctypes.c_double),
+    ]
+
+
+class _UrdfModel(ctypes.Structure):
+    _fields_ = [
+        ("robot_name", ctypes.c_char * 128),
+        ("num_links", ctypes.c_int),
+        ("num_joints", ctypes.c_int),
+        ("links", ctypes.POINTER(_UrdfLink)),
+        ("joints", ctypes.POINTER(_UrdfJoint)),
+    ]
+
+
+_lib = None
+
+
+def _load_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        subprocess.run(
+            ["make", "-s"], cwd=os.path.abspath(_NATIVE_DIR), check=True
+        )
+    _lib = ctypes.CDLL(_LIB_PATH)
+    _lib.urdf_parse_file.restype = ctypes.POINTER(_UrdfModel)
+    _lib.urdf_parse_file.argtypes = [ctypes.c_char_p]
+    _lib.urdf_free.argtypes = [ctypes.POINTER(_UrdfModel)]
+    return _lib
+
+
+@dataclasses.dataclass
+class Link:
+    name: str
+    mass: float
+    com: np.ndarray
+    com_rpy: np.ndarray
+    inertia_diag: np.ndarray  # (ixx, iyy, izz)
+    inertia_off: np.ndarray  # (ixy, ixz, iyz)
+    density: float
+    geom_type: int  # 0 none, 1 box, 2 sphere, 3 cylinder, 4 mesh
+    geom_size: np.ndarray
+    num_collisions: int
+
+
+@dataclasses.dataclass
+class Joint:
+    name: str
+    parent: str
+    child: str
+    type: str  # fixed | revolute | continuous | prismatic | other
+    origin_xyz: np.ndarray
+    origin_rpy: np.ndarray
+    axis: np.ndarray
+    lower: float
+    upper: float
+    effort: float
+    velocity: float
+
+
+_JOINT_TYPES = {0: "fixed", 1: "revolute", 2: "continuous", 3: "prismatic", 4: "other"}
+
+
+@dataclasses.dataclass
+class UrdfModel:
+    name: str
+    links: Dict[str, Link]
+    joints: List[Joint]
+
+    def child_joints(self, link_name: str) -> List[Joint]:
+        return [j for j in self.joints if j.parent == link_name]
+
+    def chain_to(self, tip_link: str) -> List[Joint]:
+        """Joint path from the root to ``tip_link``."""
+        by_child = {j.child: j for j in self.joints}
+        path: List[Joint] = []
+        cur = tip_link
+        while cur in by_child:
+            j = by_child[cur]
+            path.append(j)
+            cur = j.parent
+        return list(reversed(path))
+
+
+def parse_urdf(path: str) -> UrdfModel:
+    """Parse a URDF file via the native library."""
+    lib = _load_lib()
+    ptr = lib.urdf_parse_file(os.fsencode(os.path.abspath(path)))
+    if not ptr:
+        raise FileNotFoundError(f"failed to parse URDF: {path}")
+    try:
+        m = ptr.contents
+        links: Dict[str, Link] = {}
+        for i in range(m.num_links):
+            l = m.links[i]
+            name = l.name.decode()
+            links[name] = Link(
+                name=name,
+                mass=float(l.mass),
+                com=np.array(l.com[:]),
+                com_rpy=np.array(l.com_rpy[:]),
+                inertia_diag=np.array(l.inertia[0:3]),
+                inertia_off=np.array(l.inertia[3:6]),
+                density=float(l.density),
+                geom_type=int(l.geom_type),
+                geom_size=np.array(l.geom_size[:]),
+                num_collisions=int(l.num_collisions),
+            )
+        joints: List[Joint] = []
+        for i in range(m.num_joints):
+            j = m.joints[i]
+            joints.append(
+                Joint(
+                    name=j.name.decode(),
+                    parent=j.parent.decode(),
+                    child=j.child.decode(),
+                    type=_JOINT_TYPES.get(int(j.type), "other"),
+                    origin_xyz=np.array(j.origin_xyz[:]),
+                    origin_rpy=np.array(j.origin_rpy[:]),
+                    axis=np.array(j.axis[:]),
+                    lower=float(j.limit_lower),
+                    upper=float(j.limit_upper),
+                    effort=float(j.limit_effort),
+                    velocity=float(j.limit_velocity),
+                )
+            )
+        return UrdfModel(name=m.robot_name.decode(), links=links, joints=joints)
+    finally:
+        lib.urdf_free(ptr)
+
+
+def finger_chain_tables(model: UrdfModel, finger_suffix: str = "0") -> dict:
+    """Extract the per-finger chain tables (joint offsets, axes, tip offset,
+    limits) for a trifinger-family URDF — the data that feeds
+    ``ops.kinematics``. Returns a dict of numpy arrays."""
+    tip_link = f"finger_tip_link_{finger_suffix}"
+    chain = model.chain_to(tip_link)
+    revolute = [j for j in chain if j.type == "revolute"]
+    fixed_tip = [j for j in chain if j.type == "fixed" and j.child == tip_link]
+    if len(revolute) != 3 or not fixed_tip:
+        raise ValueError(
+            f"not a 3-DoF finger chain to {tip_link}: "
+            f"{[j.name for j in chain]}"
+        )
+    return {
+        "joint_offsets": np.stack([j.origin_xyz for j in revolute]),
+        "joint_axes": np.stack([j.axis for j in revolute]),
+        "tip_offset": fixed_tip[0].origin_xyz,
+        "joint_lower": np.array([j.lower for j in revolute]),
+        "joint_upper": np.array([j.upper for j in revolute]),
+        "mount_joints": [
+            j for j in model.joints if j.type == "fixed" and "holder_to_finger" in j.name
+        ],
+    }

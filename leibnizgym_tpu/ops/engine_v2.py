@@ -1,0 +1,606 @@
+"""SoA (scalar-component) physics engine — the TPU hot path.
+
+Numerically equivalent to `ops/engine.py` (the readable reference
+implementation; equivalence enforced by tests) but written so every
+intermediate is a SCALAR: under `jax.vmap` over the env axis each scalar
+becomes a flat (N,) array. No (N, 3) / (N, 3, 3) intermediates means no
+minor-dim padding in VMEM tiles, no layout shuffles, and XLA fuses the whole
+substep into long flat vector pipelines on the VPU — the layout that the
+batch-first engine cannot reach (a (N, 3, 3) tile wastes ~42x of each lane
+register row).
+
+Everything static (chain offsets, mount yaws, link inertias, joint limits) is
+Python floats, folded at trace time.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from leibnizgym_tpu.models import trifinger as tf_model
+from leibnizgym_tpu.ops.soa import (
+    chol3_factor,
+    chol3_solve_factored,
+    m3_T,
+    m3_matvec,
+    m3_mul,
+    m3_rot_x,
+    m3_rot_y,
+    quat_integrate4,
+    quat_to_m3,
+    v3_add,
+    v3_cross,
+    v3_dot,
+    v3_scale,
+    v3_sub,
+)
+from leibnizgym_tpu.ops.types import PhysicsState, SceneParams, SolverConfig
+
+# ---------------------------------------------------------------------------
+# Compile-time constants (Python floats)
+# ---------------------------------------------------------------------------
+
+_O2 = tuple(float(x) for x in tf_model.JOINT_OFFSETS[1])
+_O3 = tuple(float(x) for x in tf_model.JOINT_OFFSETS[2])
+_TIP = tuple(float(x) for x in tf_model.TIP_OFFSET)
+_MOUNT_Z = float(tf_model.MOUNT_HEIGHT)
+_TIP_OFF_Z = float(tf_model.TIP_SPHERE_OFFSET[2])
+_BASE_MASSES = tuple(float(m) for m in tf_model.LINK_MASSES)
+_COMS = tuple(tuple(float(x) for x in c) for c in tf_model.LINK_COMS)
+_INERTIAS = tuple(
+    tuple(tuple(float(x) for x in row) for row in i) for i in tf_model.LINK_INERTIAS
+)
+_MOUNT_CS = tuple(
+    (math.cos(float(y)), math.sin(float(y))) for y in tf_model.FINGER_MOUNT_YAWS
+)
+_JLOW = tuple(float(x) for x in np.tile(tf_model.JOINT_POS_LOW, 3))
+_JHIGH = tuple(float(x) for x in np.tile(tf_model.JOINT_POS_HIGH, 3))
+_CORNER_SIGNS = tuple(
+    (float(sx), float(sy), float(sz))
+    for sx in (-1.0, 1.0)
+    for sy in (-1.0, 1.0)
+    for sz in (-1.0, 1.0)
+)
+_MAX_CUBE_ANGVEL = 64.0
+
+
+def _mount_rotate(f: int, v):
+    """Apply the constant mount yaw rotation of finger f to a vec3."""
+    c, s = _MOUNT_CS[f]
+    return (c * v[0] - s * v[1], s * v[0] + c * v[1], v[2])
+
+
+class _FingerData(NamedTuple):
+    qd: tuple  # (3,) current joint velocities (scalars)
+    tip_w: tuple  # vec3 world tip position
+    jw_cols: tuple  # 3 columns (vec3) of the world tip jacobian, by joint
+    minv_jt_cols: tuple  # 3 columns (vec3): M^-1 J_w^T e_k for k = x, y, z
+    a_tip: tuple  # mat3 J M^-1 J^T
+
+
+def _finger_dynamics(f: int, q9, qd9, tau9, gravity, link_mass_scale,
+                     joint_damping, armature, h):
+    """FK + mass matrix + RNEA bias + free-velocity update for finger f.
+
+    Returns (qd_new (3-tuple), _FingerData with contact-solve quantities).
+    """
+    q = (q9[3 * f], q9[3 * f + 1], q9[3 * f + 2])
+    qd = (qd9[3 * f], qd9[3 * f + 1], qd9[3 * f + 2])
+    tau = (tau9[3 * f], tau9[3 * f + 1], tau9[3 * f + 2])
+
+    # ---- FK (finger-local frame) -----------------------------------------
+    c1, s1 = jnp.cos(q[0]), jnp.sin(q[0])
+    c2, s2 = jnp.cos(q[1]), jnp.sin(q[1])
+    c3, s3 = jnp.cos(q[2]), jnp.sin(q[2])
+    r1 = m3_rot_y(c1, s1)
+    r2 = m3_mul(r1, m3_rot_x(c2, s2))
+    r3 = m3_mul(r2, m3_rot_x(c3, s3))
+    p1 = (jnp.zeros_like(c1),) * 3
+    p2 = m3_matvec(r1, _O2)
+    p3 = v3_add(p2, m3_matvec(r2, _O3))
+    tip = v3_add(p3, m3_matvec(r3, _TIP))
+    joints = (p1, p2, p3)
+    rots = (r1, r2, r3)
+    # joint axes in finger frame: y, then x of r1, x of r2
+    a1 = (jnp.zeros_like(c1), jnp.ones_like(c1), jnp.zeros_like(c1))
+    a2 = (r1[0][0], r1[1][0], r1[2][0])
+    a3 = (r2[0][0], r2[1][0], r2[2][0])
+    axes = (a1, a2, a3)
+    coms = tuple(
+        v3_add(joints[l], m3_matvec(rots[l], _COMS[l])) for l in range(3)
+    )
+
+    # masses and world inertias (inertia scales with link mass for DR)
+    masses = tuple(_BASE_MASSES[l] * link_mass_scale[l] for l in range(3))
+    i_w = []
+    for l in range(3):
+        scaled = tuple(
+            tuple(_INERTIAS[l][i][j] * link_mass_scale[l] for j in range(3))
+            for i in range(3)
+        )
+        i_w.append(m3_mul(m3_mul(rots[l], scaled), m3_T(rots[l])))
+
+    # ---- mass matrix (link-Jacobian assembly) ----------------------------
+    # jv[l][i] = a_i x (com_l - p_i) for i <= l
+    jv = [[None] * 3 for _ in range(3)]
+    for l in range(3):
+        for i in range(l + 1):
+            jv[l][i] = v3_cross(axes[i], v3_sub(coms[l], joints[i]))
+    m_e = [[jnp.zeros_like(c1) for _ in range(3)] for _ in range(3)]
+    for i in range(3):
+        for j in range(i, 3):
+            acc = jnp.zeros_like(c1)
+            for l in range(max(i, j), 3):
+                acc = acc + masses[l] * v3_dot(jv[l][i], jv[l][j])
+                acc = acc + v3_dot(axes[i], m3_matvec(i_w[l], axes[j]))
+            m_e[i][j] = acc
+            m_e[j][i] = acc
+    for i in range(3):
+        m_e[i][i] = m_e[i][i] + armature[i]
+    m_mat = tuple(tuple(row) for row in m_e)
+
+    # ---- RNEA bias (qdd = 0, base acc = -g) ------------------------------
+    omega_prev = (jnp.zeros_like(c1),) * 3
+    alpha_prev = (jnp.zeros_like(c1),) * 3
+    a_joint_prev = (-gravity[0], -gravity[1], -gravity[2])
+    p_prev = p1
+    omega, alpha, a_com = [], [], []
+    for i in range(3):
+        d = v3_sub(joints[i], p_prev)
+        a_joint = v3_add(
+            a_joint_prev,
+            v3_add(
+                v3_cross(alpha_prev, d),
+                v3_cross(omega_prev, v3_cross(omega_prev, d)),
+            ),
+        )
+        w = v3_add(omega_prev, v3_scale(axes[i], qd[i]))
+        al = v3_add(alpha_prev, v3_cross(omega_prev, v3_scale(axes[i], qd[i])))
+        rc = v3_sub(coms[i], joints[i])
+        ac = v3_add(
+            a_joint, v3_add(v3_cross(al, rc), v3_cross(w, v3_cross(w, rc)))
+        )
+        omega.append(w)
+        alpha.append(al)
+        a_com.append(ac)
+        omega_prev, alpha_prev, a_joint_prev, p_prev = w, al, a_joint, joints[i]
+
+    f_child = (jnp.zeros_like(c1),) * 3
+    n_child = (jnp.zeros_like(c1),) * 3
+    bias = [None, None, None]
+    for i in reversed(range(3)):
+        f_net = v3_scale(a_com[i], masses[i])
+        n_net = v3_add(
+            m3_matvec(i_w[i], alpha[i]),
+            v3_cross(omega[i], m3_matvec(i_w[i], omega[i])),
+        )
+        f_i = v3_add(f_net, f_child)
+        n_i = v3_add(
+            v3_add(n_net, n_child),
+            v3_cross(v3_sub(coms[i], joints[i]), f_net),
+        )
+        if i < 2:
+            n_i = v3_add(n_i, v3_cross(v3_sub(joints[i + 1], joints[i]), f_child))
+        bias[i] = v3_dot(axes[i], n_i)
+        f_child, n_child = f_i, n_i
+
+    # ---- free-velocity update --------------------------------------------
+    chol = chol3_factor(m_mat)
+    rhs = tuple(
+        tau[i] - bias[i] - joint_damping[i] * qd[i] for i in range(3)
+    )
+    qdd = chol3_solve_factored(chol, rhs)
+    qd_new = tuple(qd[i] + h * qdd[i] for i in range(3))
+
+    # ---- world-frame contact quantities ----------------------------------
+    tip_w = v3_add((0.0, 0.0, _MOUNT_Z), _mount_rotate(f, tip))
+    jw_cols = []
+    for i in range(3):
+        col_local = v3_cross(axes[i], v3_sub(tip, joints[i]))
+        jw_cols.append(_mount_rotate(f, col_local))
+    # minv_jt columns: M^-1 (row k of J_w) for world axes k
+    minv_jt_cols = []
+    for k in range(3):
+        row_k = (jw_cols[0][k], jw_cols[1][k], jw_cols[2][k])
+        minv_jt_cols.append(chol3_solve_factored(chol, row_k))
+    # a_tip[k][m] = row_k(J) . minv_jt_col_m
+    a_tip = tuple(
+        tuple(
+            jw_cols[0][k] * minv_jt_cols[mm][0]
+            + jw_cols[1][k] * minv_jt_cols[mm][1]
+            + jw_cols[2][k] * minv_jt_cols[mm][2]
+            for mm in range(3)
+        )
+        for k in range(3)
+    )
+    return qd_new, _FingerData(qd_new, tip_w, tuple(jw_cols), tuple(minv_jt_cols), a_tip)
+
+
+def _tip_point_vel(fd: _FingerData, qd):
+    """World velocity of the tip = J_w qd."""
+    return (
+        fd.jw_cols[0][0] * qd[0] + fd.jw_cols[1][0] * qd[1] + fd.jw_cols[2][0] * qd[2],
+        fd.jw_cols[0][1] * qd[0] + fd.jw_cols[1][1] * qd[1] + fd.jw_cols[2][1] * qd[2],
+        fd.jw_cols[0][2] * qd[0] + fd.jw_cols[1][2] * qd[1] + fd.jw_cols[2][2] * qd[2],
+    )
+
+
+def _apply_tip_impulse(fd: _FingerData, qd, p, sign):
+    """qd += sign * M^-1 J_w^T p."""
+    return tuple(
+        qd[i]
+        + sign
+        * (
+            fd.minv_jt_cols[0][i] * p[0]
+            + fd.minv_jt_cols[1][i] * p[1]
+            + fd.minv_jt_cols[2][i] * p[2]
+        )
+        for i in range(3)
+    )
+
+
+def _tangent_basis_s(n):
+    """Two orthonormal tangents for unit normal n (scalar version)."""
+    use_x = jnp.abs(n[0]) < 0.9
+    ax = jnp.where(use_x, 1.0, 0.0)
+    ay = jnp.where(use_x, 0.0, 1.0)
+    a = (ax, ay, jnp.zeros_like(ax))
+    t1 = v3_cross(n, a)
+    inv = 1.0 / jnp.sqrt(jnp.maximum(v3_dot(t1, t1), 1e-18))
+    t1 = v3_scale(t1, inv)
+    t2 = v3_cross(n, t1)
+    return t1, t2
+
+
+def _contact_target_s(depth, v_n0, restitution, bounce_threshold, h, cfg):
+    bias = jnp.where(
+        depth > 0.0,
+        cfg.baumgarte / h * jnp.maximum(depth - cfg.contact_slop, 0.0),
+        depth / h,
+    )
+    rest = jnp.where(v_n0 < -bounce_threshold, -restitution * v_n0, -jnp.inf)
+    return jnp.maximum(bias, rest)
+
+
+def _substep_scalar(state: PhysicsState, tau: jax.Array, params: SceneParams,
+                    cfg: SolverConfig, h: float):
+    """One substep, scalar-component formulation. Unbatched; vmap over envs."""
+    g = (params.gravity[0], params.gravity[1], params.gravity[2])
+    lms = tuple(params.link_masses[i] / _BASE_MASSES[i] for i in range(3))
+    jd = (params.joint_damping[0], params.joint_damping[1], params.joint_damping[2])
+    arm = (params.armature[0], params.armature[1], params.armature[2])
+
+    # ---- fingers ----------------------------------------------------------
+    fingers = []
+    qd_f = []
+    for f in range(3):
+        qd_new, fd = _finger_dynamics(
+            f, state.q, state.qd, tau, g, lms, jd, arm, h
+        )
+        fingers.append(fd)
+        qd_f.append(qd_new)
+
+    # ---- cube free velocities --------------------------------------------
+    lin_damp = jnp.maximum(0.0, 1.0 - params.cube_linear_damping * h)
+    ang_damp = jnp.maximum(0.0, 1.0 - params.cube_angular_damping * h)
+    v = tuple(state.cube_linvel[i] * lin_damp for i in range(3))
+    v = (v[0] + h * g[0], v[1] + h * g[1], v[2] + h * g[2])
+    w = tuple(state.cube_angvel[i] * ang_damp for i in range(3))
+
+    # ---- cube body quantities --------------------------------------------
+    quat = (state.cube_quat[0], state.cube_quat[1], state.cube_quat[2], state.cube_quat[3])
+    rot = quat_to_m3(quat)
+    pos = (state.cube_pos[0], state.cube_pos[1], state.cube_pos[2])
+    inv_mass = 1.0 / params.cube_mass
+    inv_i = tuple(1.0 / params.cube_inertia[i] for i in range(3))
+    # world inverse inertia R diag(inv_i) R^T
+    inv_i_w = tuple(
+        tuple(
+            rot[i][0] * inv_i[0] * rot[j][0]
+            + rot[i][1] * inv_i[1] * rot[j][1]
+            + rot[i][2] * inv_i[2] * rot[j][2]
+            for j in range(3)
+        )
+        for i in range(3)
+    )
+    half = (
+        params.cube_half_extents[0],
+        params.cube_half_extents[1],
+        params.cube_half_extents[2],
+    )
+
+    def k_cube_dir(r, d):
+        rxd = v3_cross(r, d)
+        return inv_mass + v3_dot(rxd, m3_matvec(inv_i_w, rxd))
+
+    def cube_point_vel(v_, w_, r):
+        return v3_add(v_, v3_cross(w_, r))
+
+    corners = []
+    for sx, sy, sz in _CORNER_SIGNS:
+        local = (sx * half[0], sy * half[1], sz * half[2])
+        corners.append(v3_add(pos, m3_matvec(rot, local)))
+
+    ez = (0.0, 0.0, 1.0)
+
+    # ---- contact group A: cube corners vs ground --------------------------
+    # tangent basis of the +z normal exactly as engine._tangent_basis yields:
+    # t1 = z x x = +y, t2 = z x t1 = -x (order matters for PGS equivalence)
+    a_contacts = []
+    a_t1 = (0.0, 1.0, 0.0)
+    a_t2 = (-1.0, 0.0, 0.0)
+    for ci in range(8):
+        r = v3_sub(corners[ci], pos)
+        depth = -corners[ci][2]
+        vn0 = cube_point_vel(v, w, r)[2]
+        target = _contact_target_s(
+            depth, vn0, params.restitution_cube_ground, params.bounce_threshold, h, cfg
+        )
+        a_contacts.append(
+            dict(r=r, target=target,
+                 wn=k_cube_dir(r, ez), wt1=k_cube_dir(r, a_t1), wt2=k_cube_dir(r, a_t2))
+        )
+
+    # ---- group B: cube corners vs arena wall ------------------------------
+    b_contacts = []
+    for ci in range(8):
+        r = v3_sub(corners[ci], pos)
+        rho = jnp.sqrt(
+            jnp.maximum(corners[ci][0] ** 2 + corners[ci][1] ** 2, 1e-18)
+        )
+        depth = rho - params.wall_radius
+        inv_rho = 1.0 / rho
+        n = (-corners[ci][0] * inv_rho, -corners[ci][1] * inv_rho, jnp.zeros_like(rho))
+        t1, t2 = _tangent_basis_s(n)
+        u = cube_point_vel(v, w, r)
+        target = _contact_target_s(
+            depth, v3_dot(u, n), jnp.asarray(0.0), params.bounce_threshold, h, cfg
+        )
+        b_contacts.append(
+            dict(r=r, n=n, t1=t1, t2=t2, target=target,
+                 wn=k_cube_dir(r, n), wt1=k_cube_dir(r, t1), wt2=k_cube_dir(r, t2))
+        )
+
+    # ---- group C: tip spheres vs cube -------------------------------------
+    c_contacts = []
+    for f in range(3):
+        center = v3_add(fingers[f].tip_w, (0.0, 0.0, _TIP_OFF_Z))
+        local = m3_matvec(m3_T(rot), v3_sub(center, pos))
+        clamped = tuple(jnp.clip(local[i], -half[i], half[i]) for i in range(3))
+        delta = v3_sub(local, clamped)
+        dist = jnp.sqrt(jnp.maximum(v3_dot(delta, delta), 1e-18))
+        outside = dist > 1e-9
+        inv_dist = 1.0 / dist
+        n_out = v3_scale(delta, inv_dist)
+        # inside: push out through nearest face
+        gaps = tuple(half[i] - jnp.abs(local[i]) for i in range(3))
+        min01 = jnp.minimum(gaps[0], gaps[1])
+        axis0 = gaps[0] <= gaps[1]
+        axis_is_2 = gaps[2] < min01
+        sgn = tuple(jnp.sign(local[i] + 1e-12) for i in range(3))
+        n_in = (
+            jnp.where(axis_is_2, 0.0, jnp.where(axis0, sgn[0], 0.0)),
+            jnp.where(axis_is_2, 0.0, jnp.where(axis0, 0.0, sgn[1])),
+            jnp.where(axis_is_2, sgn[2], 0.0),
+        )
+        inside_dist = -jnp.where(axis_is_2, gaps[2], jnp.minimum(gaps[0], gaps[1]))
+        n_local = tuple(jnp.where(outside, n_out[i], n_in[i]) for i in range(3))
+        sdist = jnp.where(outside, dist, inside_dist)
+        gap_sel = jnp.where(axis_is_2, gaps[2], min01)
+        surf_local = tuple(
+            jnp.where(outside, clamped[i], local[i] + n_in[i] * gap_sel)
+            for i in range(3)
+        )
+        depth = params.tip_radius - sdist
+        n_w = v3_scale(m3_matvec(rot, n_local), -1.0)  # +n pushes the cube away
+        point = v3_add(pos, m3_matvec(rot, surf_local))
+        r = v3_sub(point, pos)
+        t1, t2 = _tangent_basis_s(n_w)
+        u = v3_sub(cube_point_vel(v, w, r), _tip_point_vel(fingers[f], qd_f[f]))
+        target = _contact_target_s(
+            depth, v3_dot(u, n_w), params.restitution_tip_cube,
+            params.bounce_threshold, h, cfg,
+        )
+
+        def w_pair(d, r=r, f=f):
+            at = fingers[f].a_tip
+            return k_cube_dir(r, d) + v3_dot(d, m3_matvec(at, d))
+
+        c_contacts.append(
+            dict(r=r, n=n_w, t1=t1, t2=t2, target=target, point=point,
+                 wn=w_pair(n_w), wt1=w_pair(t1), wt2=w_pair(t2))
+        )
+
+    # ---- group D: tip spheres vs ground -----------------------------------
+    d_contacts = []
+    for f in range(3):
+        center = v3_add(fingers[f].tip_w, (0.0, 0.0, _TIP_OFF_Z))
+        depth = params.tip_radius - center[2]
+        u = _tip_point_vel(fingers[f], qd_f[f])
+        target = _contact_target_s(
+            depth, u[2], params.restitution_tip_ground, params.bounce_threshold, h, cfg
+        )
+        at = fingers[f].a_tip
+        d_contacts.append(
+            dict(target=target, wn=at[2][2], wt1=at[0][0], wt2=at[1][1])
+        )
+
+    # ---- PGS sweeps --------------------------------------------------------
+    def normal_step(u_n, target, w_n, lam):
+        new_lam = jnp.maximum(lam + (target - u_n) / w_n, 0.0)
+        return new_lam - lam, new_lam
+
+    def friction_step(u_t, w_t, lam_t, mu_lam):
+        new_lam = jnp.clip(lam_t - u_t / w_t, -mu_lam, mu_lam)
+        return new_lam - lam_t, new_lam
+
+    def cube_apply(v, w, r, p):
+        v = (v[0] + inv_mass * p[0], v[1] + inv_mass * p[1], v[2] + inv_mass * p[2])
+        rxp = v3_cross(r, p)
+        w = v3_add(w, m3_matvec(inv_i_w, rxp))
+        return v, w
+
+    z = jnp.zeros_like(pos[0])
+
+    def sweep(_, carry):
+        v, w, qd0, qd1, qd2, lam = carry
+        qds = [qd0, qd1, qd2]
+        (a_ln, a_l1, a_l2, b_ln, b_l1, b_l2, c_ln, c_l1, c_l2,
+         d_ln, d_l1, d_l2) = [list(x) for x in lam]
+
+        for i, ct in enumerate(a_contacts):
+            r = ct["r"]
+            u = cube_point_vel(v, w, r)
+            d_lam, a_ln[i] = normal_step(u[2], ct["target"], ct["wn"], a_ln[i])
+            v, w = cube_apply(v, w, r, (z, z, d_lam))
+            mu_l = params.mu_cube_ground * a_ln[i]
+            u = cube_point_vel(v, w, r)
+            d_lam, a_l1[i] = friction_step(u[1], ct["wt1"], a_l1[i], mu_l)
+            v, w = cube_apply(v, w, r, (z, d_lam, z))
+            u = cube_point_vel(v, w, r)
+            d_lam, a_l2[i] = friction_step(-u[0], ct["wt2"], a_l2[i], mu_l)
+            v, w = cube_apply(v, w, r, (-d_lam, z, z))
+
+        for i, ct in enumerate(b_contacts):
+            r, n = ct["r"], ct["n"]
+            u = cube_point_vel(v, w, r)
+            d_lam, b_ln[i] = normal_step(v3_dot(u, n), ct["target"], ct["wn"], b_ln[i])
+            v, w = cube_apply(v, w, r, v3_scale(n, d_lam))
+            mu_l = params.mu_cube_wall * b_ln[i]
+            u = cube_point_vel(v, w, r)
+            d_lam, b_l1[i] = friction_step(v3_dot(u, ct["t1"]), ct["wt1"], b_l1[i], mu_l)
+            v, w = cube_apply(v, w, r, v3_scale(ct["t1"], d_lam))
+            u = cube_point_vel(v, w, r)
+            d_lam, b_l2[i] = friction_step(v3_dot(u, ct["t2"]), ct["wt2"], b_l2[i], mu_l)
+            v, w = cube_apply(v, w, r, v3_scale(ct["t2"], d_lam))
+
+        for f, ct in enumerate(c_contacts):
+            r, n = ct["r"], ct["n"]
+            u = v3_sub(cube_point_vel(v, w, r), _tip_point_vel(fingers[f], qds[f]))
+            d_lam, c_ln[f] = normal_step(v3_dot(u, n), ct["target"], ct["wn"], c_ln[f])
+            p = v3_scale(n, d_lam)
+            v, w = cube_apply(v, w, r, p)
+            qds[f] = _apply_tip_impulse(fingers[f], qds[f], p, -1.0)
+            mu_l = params.mu_tip_cube * c_ln[f]
+            for which in (0, 1):
+                t_vec = ct["t1"] if which == 0 else ct["t2"]
+                w_t = ct["wt1"] if which == 0 else ct["wt2"]
+                lam_prev = c_l1[f] if which == 0 else c_l2[f]
+                u = v3_sub(cube_point_vel(v, w, r), _tip_point_vel(fingers[f], qds[f]))
+                d_lam, new_lam = friction_step(v3_dot(u, t_vec), w_t, lam_prev, mu_l)
+                if which == 0:
+                    c_l1[f] = new_lam
+                else:
+                    c_l2[f] = new_lam
+                p = v3_scale(t_vec, d_lam)
+                v, w = cube_apply(v, w, r, p)
+                qds[f] = _apply_tip_impulse(fingers[f], qds[f], p, -1.0)
+
+        for f, ct in enumerate(d_contacts):
+            u = _tip_point_vel(fingers[f], qds[f])
+            d_lam, d_ln[f] = normal_step(u[2], ct["target"], ct["wn"], d_ln[f])
+            qds[f] = _apply_tip_impulse(fingers[f], qds[f], (z, z, d_lam), 1.0)
+            mu_l = params.mu_tip_ground * d_ln[f]
+            u = _tip_point_vel(fingers[f], qds[f])
+            d_lam, d_l1[f] = friction_step(u[0], ct["wt1"], d_l1[f], mu_l)
+            qds[f] = _apply_tip_impulse(fingers[f], qds[f], (d_lam, z, z), 1.0)
+            u = _tip_point_vel(fingers[f], qds[f])
+            d_lam, d_l2[f] = friction_step(u[1], ct["wt2"], d_l2[f], mu_l)
+            qds[f] = _apply_tip_impulse(fingers[f], qds[f], (z, d_lam, z), 1.0)
+
+        lam = (tuple(a_ln), tuple(a_l1), tuple(a_l2),
+               tuple(b_ln), tuple(b_l1), tuple(b_l2),
+               tuple(c_ln), tuple(c_l1), tuple(c_l2),
+               tuple(d_ln), tuple(d_l1), tuple(d_l2))
+        return v, w, qds[0], qds[1], qds[2], lam
+
+    z8 = tuple(z for _ in range(8))
+    z3 = tuple(z for _ in range(3))
+    lam0 = (z8, z8, z8, z8, z8, z8, z3, z3, z3, z3, z3, z3)
+    v, w, qd0, qd1, qd2, lam = jax.lax.fori_loop(
+        0, cfg.solver_iterations, sweep, (v, w, qd_f[0], qd_f[1], qd_f[2], lam0)
+    )
+    qd_f = [qd0, qd1, qd2]
+
+    # ---- fingertip contact impulses (wrench sensing) ----------------------
+    (_, _, _, _, _, _, c_ln, c_l1, c_l2, d_ln, d_l1, d_l2) = lam
+    tip_imp = []
+    tip_timp = []
+    for f in range(3):
+        ct = c_contacts[f]
+        imp_c = v3_scale(
+            v3_add(
+                v3_add(v3_scale(ct["n"], c_ln[f]), v3_scale(ct["t1"], c_l1[f])),
+                v3_scale(ct["t2"], c_l2[f]),
+            ),
+            -1.0,
+        )
+        imp_d = (d_l1[f], d_l2[f], d_ln[f])
+        imp = v3_add(imp_c, imp_d)
+        center = v3_add(fingers[f].tip_w, (0.0, 0.0, _TIP_OFF_Z))
+        arm_c = v3_sub(ct["point"], fingers[f].tip_w)
+        arm_d = v3_sub(
+            (center[0], center[1], center[2] - params.tip_radius), fingers[f].tip_w
+        )
+        timp = v3_add(v3_cross(arm_c, imp_c), v3_cross(arm_d, imp_d))
+        tip_imp.append(imp)
+        tip_timp.append(timp)
+
+    # ---- integrate positions + joint limits -------------------------------
+    q_new, qd_out = [], []
+    for f in range(3):
+        for j in range(3):
+            gi = 3 * f + j
+            qv = state.q[gi] + h * qd_f[f][j]
+            qc = jnp.clip(qv, _JLOW[gi], _JHIGH[gi])
+            qdv = qd_f[f][j]
+            at_lower = (qv <= _JLOW[gi]) & (qdv < 0.0)
+            at_upper = (qv >= _JHIGH[gi]) & (qdv > 0.0)
+            qdv = jnp.where(at_lower | at_upper, 0.0, qdv)
+            qdv = jnp.clip(qdv, -params.velocity_limit, params.velocity_limit)
+            q_new.append(qc)
+            qd_out.append(qdv)
+
+    w_norm = jnp.sqrt(jnp.maximum(v3_dot(w, w), 1e-18))
+    w_scale = jnp.where(w_norm > _MAX_CUBE_ANGVEL, _MAX_CUBE_ANGVEL / w_norm, 1.0)
+    w = v3_scale(w, w_scale)
+
+    new_quat = quat_integrate4(quat, w, h)
+    new_state = PhysicsState(
+        q=jnp.stack(q_new),
+        qd=jnp.stack(qd_out),
+        cube_pos=jnp.stack([pos[i] + h * v[i] for i in range(3)]),
+        cube_quat=jnp.stack(list(new_quat)),
+        cube_linvel=jnp.stack(list(v)),
+        cube_angvel=jnp.stack(list(w)),
+    )
+    tip_impulse = jnp.stack([jnp.stack(list(t)) for t in tip_imp])
+    tip_torque_impulse = jnp.stack([jnp.stack(list(t)) for t in tip_timp])
+    return new_state, tip_impulse, tip_torque_impulse
+
+
+def physics_step_v2(
+    state: PhysicsState,
+    tau: jax.Array,
+    params: SceneParams,
+    cfg: SolverConfig,
+    dt: float = 0.02,
+):
+    """Drop-in replacement for engine.physics_step with the SoA hot path."""
+    h = dt / cfg.substeps
+
+    def body(_, carry):
+        s, acc_f, acc_t = carry
+        s, imp_f, imp_t = _substep_scalar(s, tau, params, cfg, h)
+        return s, acc_f + imp_f, acc_t + imp_t
+
+    state, imp_f, imp_t = jax.lax.fori_loop(
+        0, cfg.substeps, body, (state, jnp.zeros((3, 3)), jnp.zeros((3, 3)))
+    )
+    tip_wrench = jnp.concatenate([imp_f / dt, imp_t / dt], axis=-1)
+    return state, tip_wrench

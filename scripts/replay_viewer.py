@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Offline visualizer: render logged TriFinger states to PNG frames / GIF.
+
+The reference uses the IsaacGym OpenGL viewer (env_base.py:599-612); on TPU
+the equivalent capability is host-side re-rendering from logged states —
+run a rollout (optionally with a trained policy), record EnvState snapshots,
+and draw them with matplotlib (top-down + side views: arena, fingertips,
+cube, goal).
+
+Usage:
+    python scripts/replay_viewer.py --steps 100 --out /tmp/trifinger.gif
+    python scripts/replay_viewer.py --checkpoint logs/<stamp>/nn/best --steps 300
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from leibnizgym_tpu.envs.trifinger.env import TrifingerEnv
+from leibnizgym_tpu.models import trifinger as tf_model
+from leibnizgym_tpu.ops.kinematics import all_tips_world
+from leibnizgym_tpu.utils import print_info
+from leibnizgym_tpu.utils.math import quat_to_matrix
+
+
+def record_rollout(env: TrifingerEnv, num_steps: int, checkpoint: str | None,
+                   env_index: int = 0):
+    """Roll out and capture (tips, cube pose, goal pose) per step."""
+    policy = None
+    if checkpoint:
+        from leibnizgym_tpu.learning.ppo import PPOConfig, make_networks
+        import orbax.checkpoint as ocp
+
+        cfg = PPOConfig()
+        actor_critic, _ = make_networks(cfg, env.static)
+        obs0 = env.reset()
+        params0 = actor_critic.init(jax.random.PRNGKey(0), obs0[:1])
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(
+            os.path.abspath(checkpoint),
+            {"ac_params": params0, "cv_params": None, "lr": jnp.zeros(()),
+             "epoch": jnp.zeros((), jnp.int32), "frame": jnp.zeros((), jnp.int32)},
+        )
+
+        @jax.jit
+        def policy_fn(obs):
+            mu, _, _ = actor_critic.apply(restored["ac_params"], obs)
+            return jnp.clip(mu, -1.0, 1.0)
+
+        policy = policy_fn
+
+    obs = env.reset()
+    key = jax.random.PRNGKey(0)
+    frames = []
+    for _ in range(num_steps):
+        if policy is not None:
+            action = policy(jnp.clip(obs, -5.0, 5.0))
+        else:
+            key, k = jax.random.split(key)
+            action = jax.random.uniform(
+                k, (env.num_instances, env.get_action_dim()), minval=-1, maxval=1
+            )
+        obs, _, _, _ = env.step(action)
+        st = env.state
+        tips, _, _ = all_tips_world(st.physics.q[env_index])
+        frames.append(
+            dict(
+                tips=np.asarray(tips),
+                cube_pos=np.asarray(st.physics.cube_pos[env_index]),
+                cube_rot=np.asarray(quat_to_matrix(st.physics.cube_quat[env_index])),
+                goal=np.asarray(st.goal_pose[env_index]),
+            )
+        )
+    return frames
+
+
+def draw_frame(ax_top, ax_side, f, half: float):
+    import matplotlib.patches as patches
+
+    for ax in (ax_top, ax_side):
+        ax.clear()
+        ax.set_aspect("equal")
+    r = tf_model.WALL_INNER_RADIUS
+    # top view
+    ax_top.add_patch(patches.Circle((0, 0), r, fill=False, color="gray"))
+    corners = (
+        f["cube_pos"][None, :]
+        + (np.array(
+            [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
+        ) * half) @ f["cube_rot"].T
+    )
+    ax_top.scatter(corners[:, 0], corners[:, 1], s=6, c="tab:orange")
+    ax_top.scatter(*f["cube_pos"][:2], s=40, c="tab:red", label="cube")
+    ax_top.scatter(*f["goal"][:2], s=40, marker="*", c="tab:green", label="goal")
+    ax_top.scatter(f["tips"][:, 0], f["tips"][:, 1], s=30, c="tab:blue", label="tips")
+    ax_top.set_xlim(-0.25, 0.25)
+    ax_top.set_ylim(-0.25, 0.25)
+    ax_top.set_title("top view")
+    ax_top.legend(loc="upper right", fontsize=6)
+    # side view (x-z)
+    ax_side.axhline(0, color="gray", lw=1)
+    ax_side.scatter(corners[:, 0], corners[:, 2], s=6, c="tab:orange")
+    ax_side.scatter(f["cube_pos"][0], f["cube_pos"][2], s=40, c="tab:red")
+    ax_side.scatter(f["goal"][0], f["goal"][2], s=40, marker="*", c="tab:green")
+    ax_side.scatter(f["tips"][:, 0], f["tips"][:, 2], s=30, c="tab:blue")
+    ax_side.set_xlim(-0.25, 0.25)
+    ax_side.set_ylim(-0.02, 0.35)
+    ax_side.set_title("side view")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--num-envs", type=int, default=4)
+    ap.add_argument("--env-index", type=int, default=0)
+    ap.add_argument("--difficulty", type=int, default=1)
+    ap.add_argument("--checkpoint", type=str, default=None)
+    ap.add_argument("--out", type=str, default="/tmp/trifinger_replay.gif")
+    ap.add_argument("--stride", type=int, default=2, help="render every k-th step")
+    args = ap.parse_args()
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.animation as animation
+    import matplotlib.pyplot as plt
+
+    env = TrifingerEnv(
+        config={"num_instances": args.num_envs, "command_mode": "torque",
+                "task_difficulty": args.difficulty, "sim": {"substeps": 2}},
+        verbose=False,
+    )
+    frames = record_rollout(env, args.steps, args.checkpoint, args.env_index)
+    frames = frames[:: args.stride]
+    half = float(tf_model.CUBE_SIZE / 2)
+
+    fig, (ax_top, ax_side) = plt.subplots(1, 2, figsize=(8, 4))
+
+    def update(i):
+        draw_frame(ax_top, ax_side, frames[i], half)
+        return []
+
+    anim = animation.FuncAnimation(fig, update, frames=len(frames), interval=40)
+    anim.save(args.out, writer="pillow", fps=25)
+    print_info(f"wrote {args.out} ({len(frames)} frames)")
+
+
+if __name__ == "__main__":
+    main()

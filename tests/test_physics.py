@@ -82,6 +82,19 @@ class TestDynamics:
         e0, e1 = float(energy(q0, qd0)), float(energy(q1, qd1))
         assert abs(e1 - e0) / max(abs(e0), 1e-9) < 1e-3
 
+    def test_rnea_matches_lagrangian_oracle(self):
+        """Hand-derived RNEA bias == autodiff Euler-Lagrange bias."""
+        rng = np.random.default_rng(3)
+        for _ in range(10):
+            q = jnp.asarray(rng.uniform(-2, 1.5, 3).astype(np.float32))
+            qd = jnp.asarray(rng.uniform(-5, 5, 3).astype(np.float32))
+            lm = jnp.asarray(
+                (np.array([0.26, 0.25, 0.052]) * rng.uniform(0.8, 1.2, 3)).astype(np.float32)
+            )
+            b_rnea = np.asarray(D.bias_forces(q, qd, GRAV, lm))
+            b_lagr = np.asarray(D.bias_forces_lagrangian(q, qd, GRAV, lm))
+            assert np.allclose(b_rnea, b_lagr, atol=1e-4), (b_rnea, b_lagr)
+
     def test_bias_matches_finite_difference(self):
         """b(q, qd) from the Lagrangian equals numerical d/dt(M qd) - dT/dq + dV/dq."""
         q = jnp.array([0.2, 0.6, -0.9])
@@ -202,6 +215,64 @@ class TestContacts:
         assert bool(jnp.isfinite(state.cube_pos).all())
         assert bool(jnp.isfinite(state.cube_quat).all())
         assert abs(float(jnp.linalg.norm(state.cube_quat)) - 1.0) < 1e-4
+
+
+class TestEngineEquivalence:
+    """The SoA hot-path engine must match the readable reference engine."""
+
+    def test_single_step_match(self):
+        from leibnizgym_tpu.ops.engine_v2 import physics_step_v2
+
+        cfg = SolverConfig(substeps=2, solver_iterations=4)
+        params = SceneParams.default()
+        rng = np.random.default_rng(0)
+        f1 = jax.jit(lambda s, t, p: physics_step(s, t, p, cfg, 0.02))
+        f2 = jax.jit(lambda s, t, p: physics_step_v2(s, t, p, cfg, 0.02))
+        for _ in range(5):
+            state = PhysicsState.default(()).replace(
+                q=jnp.asarray(
+                    (np.tile(tf_model.JOINT_POS_DEFAULT, 3)
+                     + rng.uniform(-0.3, 0.3, 9)).astype(np.float32)),
+                qd=jnp.asarray(rng.uniform(-2, 2, 9).astype(np.float32)),
+                cube_pos=jnp.asarray(np.array(
+                    [rng.uniform(-0.1, 0.1), rng.uniform(-0.1, 0.1),
+                     rng.uniform(0.03, 0.08)]).astype(np.float32)),
+                cube_linvel=jnp.asarray(rng.uniform(-0.5, 0.5, 3).astype(np.float32)),
+                cube_angvel=jnp.asarray(rng.uniform(-2, 2, 3).astype(np.float32)),
+            )
+            tau = jnp.asarray(rng.uniform(-0.36, 0.36, 9).astype(np.float32))
+            s1, w1 = f1(state, tau, params)
+            s2, w2 = f2(state, tau, params)
+            for name in ["q", "qd", "cube_pos", "cube_quat", "cube_linvel",
+                         "cube_angvel"]:
+                err = float(jnp.abs(getattr(s1, name) - getattr(s2, name)).max())
+                assert err < 1e-4, f"{name}: {err}"
+            assert float(jnp.abs(w1 - w2).max()) < 1e-2
+
+    def test_batched_match(self):
+        from leibnizgym_tpu.ops.engine_v2 import physics_step_v2
+
+        cfg = SolverConfig(substeps=2, solver_iterations=4)
+        n = 16
+        params = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n,) + jnp.shape(x)), SceneParams.default()
+        )
+        key = jax.random.PRNGKey(0)
+        state = PhysicsState.default((n,)).replace(
+            cube_pos=jnp.stack([
+                jax.random.uniform(key, (n,), minval=-0.1, maxval=0.1),
+                jax.random.uniform(jax.random.fold_in(key, 1), (n,), minval=-0.1, maxval=0.1),
+                jax.random.uniform(jax.random.fold_in(key, 2), (n,), minval=0.03, maxval=0.08),
+            ], axis=-1),
+        )
+        tau = jax.random.uniform(jax.random.fold_in(key, 3), (n, 9),
+                                 minval=-0.36, maxval=0.36)
+        v1 = jax.jit(jax.vmap(lambda s, t, p: physics_step(s, t, p, cfg, 0.02)))
+        v2 = jax.jit(jax.vmap(lambda s, t, p: physics_step_v2(s, t, p, cfg, 0.02)))
+        s1, _ = v1(state, tau, params)
+        s2, _ = v2(state, tau, params)
+        assert float(jnp.abs(s1.q - s2.q).max()) < 1e-4
+        assert float(jnp.abs(s1.cube_pos - s2.cube_pos).max()) < 1e-4
 
 
 def gravity_hold_torque():

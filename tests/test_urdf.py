@@ -1,0 +1,102 @@
+"""Native URDF parser tests: parse reference assets, cross-check built-ins."""
+
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from leibnizgym_tpu.models import trifinger as tf_model
+
+urdf = pytest.importorskip("leibnizgym_tpu.models.urdf")
+
+_REF_ASSETS = "/root/reference/resources/assets/trifinger"
+_HAVE_REF = os.path.isdir(_REF_ASSETS)
+
+
+@pytest.fixture(scope="module")
+def lib_ok():
+    try:
+        urdf._load_lib()
+    except Exception as e:  # toolchain missing
+        pytest.skip(f"native build unavailable: {e}")
+
+
+def test_parse_synthetic(tmp_path, lib_ok):
+    path = tmp_path / "mini.urdf"
+    path.write_text(textwrap.dedent("""\
+        <?xml version="1.0"?>
+        <!-- a comment -->
+        <robot name="mini">
+          <link name="base">
+            <inertial>
+              <origin xyz="0.1 0.2 0.3" rpy="0 0 0"/>
+              <mass value="1.5"/>
+              <inertia ixx="0.01" ixy="0.001" ixz="0" iyy="0.02" iyz="0" izz="0.03"/>
+            </inertial>
+            <collision>
+              <geometry><box size="0.1 0.2 0.3"/></geometry>
+            </collision>
+          </link>
+          <link name="arm"/>
+          <joint name="j1" type="revolute">
+            <parent link="base"/>
+            <child link="arm"/>
+            <origin xyz="0 0 0.5" rpy="0 0 1.57"/>
+            <axis xyz="0 1 0"/>
+            <limit lower="-1" upper="2" effort="10" velocity="5"/>
+          </joint>
+        </robot>
+    """))
+    m = urdf.parse_urdf(str(path))
+    assert m.name == "mini"
+    base = m.links["base"]
+    assert base.mass == 1.5
+    assert np.allclose(base.com, [0.1, 0.2, 0.3])
+    assert np.allclose(base.inertia_diag, [0.01, 0.02, 0.03])
+    assert base.geom_type == 1 and np.allclose(base.geom_size, [0.1, 0.2, 0.3])
+    j = m.joints[0]
+    assert j.type == "revolute" and j.parent == "base" and j.child == "arm"
+    assert np.allclose(j.axis, [0, 1, 0]) and j.lower == -1 and j.upper == 2
+
+
+@pytest.mark.skipif(not _HAVE_REF, reason="reference assets not mounted")
+def test_trifingerpro_matches_builtin_tables(lib_ok):
+    m = urdf.parse_urdf(
+        os.path.join(_REF_ASSETS, "robot_properties_fingers/urdf/pro/trifingerpro.urdf")
+    )
+    assert m.name == "trifingerpro"
+    t = urdf.finger_chain_tables(m, "0")
+    assert np.allclose(t["joint_offsets"], tf_model.JOINT_OFFSETS, atol=1e-6)
+    assert np.allclose(t["joint_axes"], tf_model.JOINT_AXES, atol=1e-6)
+    assert np.allclose(t["tip_offset"], tf_model.TIP_OFFSET, atol=1e-6)
+    assert np.allclose(t["joint_lower"], tf_model.URDF_JOINT_LOWER, atol=1e-6)
+    assert np.allclose(t["joint_upper"], tf_model.URDF_JOINT_UPPER, atol=1e-6)
+    yaws = sorted(j.origin_rpy[2] for j in t["mount_joints"])
+    assert np.allclose(sorted(tf_model.FINGER_MOUNT_YAWS), yaws, atol=1e-6)
+    # link inertials
+    upper = m.links["finger_upper_link_0"]
+    assert abs(upper.mass - 0.26) < 1e-9
+    assert np.allclose(upper.com, [0, 0.06, 0])
+    # all three fingers identical chains
+    for suffix in ("120", "240"):
+        t2 = urdf.finger_chain_tables(m, suffix)
+        assert np.allclose(t2["joint_offsets"], t["joint_offsets"])
+
+
+@pytest.mark.skipif(not _HAVE_REF, reason="reference assets not mounted")
+def test_cube_urdf(lib_ok):
+    m = urdf.parse_urdf(os.path.join(_REF_ASSETS, "objects/urdf/cube_multicolor_rrc.urdf"))
+    cube = m.links["object"]
+    assert cube.density == 291.3
+    assert cube.geom_type == 1
+    assert np.allclose(cube.geom_size, [0.065] * 3)
+
+
+@pytest.mark.skipif(not _HAVE_REF, reason="reference assets not mounted")
+def test_edu_variant_parses(lib_ok):
+    path = os.path.join(_REF_ASSETS, "robot_properties_fingers/urdf/edu/trifingeredu.urdf")
+    if not os.path.exists(path):
+        pytest.skip("edu variant not present")
+    m = urdf.parse_urdf(path)
+    assert len(m.links) > 0 and len(m.joints) > 0
