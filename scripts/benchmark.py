@@ -18,6 +18,10 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from leibnizgym_tpu.utils.platform import ensure_requested_platform
+
+ensure_requested_platform()
+
 import jax
 import jax.numpy as jnp
 import yaml

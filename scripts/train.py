@@ -18,6 +18,10 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from leibnizgym_tpu.utils.platform import ensure_requested_platform
+
+ensure_requested_platform()
+
 from leibnizgym_tpu.config.presets import parse_cli, update_cfg
 from leibnizgym_tpu.learning.train import run_training
 from leibnizgym_tpu.utils import print_dict, print_info
