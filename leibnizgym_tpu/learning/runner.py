@@ -97,19 +97,27 @@ class Runner:
 
     # ----------------------------------------------------------- checkpointing
 
+    def _ckpt_payload(self):
+        """Learner state saved/restored (env state intentionally excluded:
+        envs re-reset on resume, matching the reference where env state is
+        never checkpointed — SURVEY.md §5). Optimizer state is included for
+        faithful training resume."""
+        return {
+            "ac_params": self.ts.ac_params,
+            "cv_params": self.ts.cv_params,
+            "ac_opt_state": self.ts.ac_opt_state,
+            "cv_opt_state": self.ts.cv_opt_state,
+            "lr": self.ts.lr,
+            "epoch": self.ts.epoch,
+            "frame": self.ts.frame,
+        }
+
     def save(self, name: str):
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(os.path.join(self.nn_dir, name))
         ckptr = ocp.StandardCheckpointer()
-        payload = {
-            "ac_params": self.ts.ac_params,
-            "cv_params": self.ts.cv_params,
-            "lr": self.ts.lr,
-            "epoch": self.ts.epoch,
-            "frame": self.ts.frame,
-        }
-        ckptr.save(path, payload, force=True)
+        ckptr.save(path, self._ckpt_payload(), force=True)
         ckptr.wait_until_finished()
         return path
 
@@ -119,21 +127,17 @@ class Runner:
         if self.ts is None:
             self.reset()
         ckptr = ocp.StandardCheckpointer()
-        template = {
-            "ac_params": self.ts.ac_params,
-            "cv_params": self.ts.cv_params,
-            "lr": self.ts.lr,
-            "epoch": self.ts.epoch,
-            "frame": self.ts.frame,
-        }
-        payload = ckptr.restore(os.path.abspath(path), template)
-        self.ts = self.ts.replace(
-            ac_params=payload["ac_params"],
-            cv_params=payload["cv_params"],
-            lr=payload["lr"],
-            epoch=payload["epoch"],
-            frame=payload["frame"],
-        )
+        template = self._ckpt_payload()
+        try:
+            payload = ckptr.restore(os.path.abspath(path), template)
+        except Exception:
+            # older checkpoints lack optimizer state; restore weights only
+            template = {
+                k: template[k]
+                for k in ("ac_params", "cv_params", "lr", "epoch", "frame")
+            }
+            payload = ckptr.restore(os.path.abspath(path), template)
+        self.ts = self.ts.replace(**payload)
         print_info(f"Restored checkpoint: {path}")
 
     # ---------------------------------------------------------------- training

@@ -45,18 +45,24 @@ def record_rollout(env: TrifingerEnv, num_steps: int, checkpoint: str | None,
 
         cfg = PPOConfig()
         actor_critic, _ = make_networks(cfg, env.static)
-        obs0 = env.reset()
-        params0 = actor_critic.init(jax.random.PRNGKey(0), obs0[:1])
         ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(
-            os.path.abspath(checkpoint),
-            {"ac_params": params0, "cv_params": None, "lr": jnp.zeros(()),
-             "epoch": jnp.zeros((), jnp.int32), "frame": jnp.zeros((), jnp.int32)},
+        # restore via an abstract template from checkpoint metadata so a
+        # TPU-saved checkpoint loads on any host (ignores saved shardings)
+        path = os.path.abspath(checkpoint)
+        meta = ckptr.metadata(path)
+        if meta is None or meta.item_metadata is None:
+            raise FileNotFoundError(f"no checkpoint at: {path}")
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        template = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding),
+            meta.item_metadata.tree,
         )
+        restored = ckptr.restore(path, template)
+        ac_params = jax.tree.map(jnp.asarray, restored["ac_params"])
 
         @jax.jit
         def policy_fn(obs):
-            mu, _, _ = actor_critic.apply(restored["ac_params"], obs)
+            mu, _, _ = actor_critic.apply(ac_params, obs)
             return jnp.clip(mu, -1.0, 1.0)
 
         policy = policy_fn
