@@ -443,19 +443,24 @@ def _simulate(static: EnvStatic, physics: PhysicsState, tau: jax.Array,
     return physics, wrench
 
 
-def _fingertip_object_states(physics: PhysicsState):
+def _fingertip_object_states(static: EnvStatic, physics: PhysicsState):
     """Fingertip 13-dim states (N, 3, 13) and object state (N, 13)."""
-    tips_w, tip_rot_w, fk = all_tips_world(physics.q)
-    qd_f = physics.qd.reshape(physics.qd.shape[:-1] + (3, 3))
-    jac_local = tip_jacobian(fk)
-    jac_w = jnp.einsum("fij,...fjk->...fik", MOUNT_ROTS, jac_local)
-    tip_linvel = jnp.einsum("...fij,...fj->...fi", jac_w, qd_f)
-    tip_angvel_local = tip_angular_velocity(fk, qd_f)
-    tip_angvel = jnp.einsum("fij,...fj->...fi", MOUNT_ROTS, tip_angvel_local)
-    tip_quat = matrix_to_quat(tip_rot_w)
-    fingertip_state = jnp.concatenate(
-        [tips_w, tip_quat, tip_linvel, tip_angvel], axis=-1
-    )
+    if static.engine == "soa":
+        from leibnizgym_tpu.ops.engine_v2 import fingertip_states_v2
+
+        fingertip_state = jax.vmap(fingertip_states_v2)(physics.q, physics.qd)
+    else:
+        tips_w, tip_rot_w, fk = all_tips_world(physics.q)
+        qd_f = physics.qd.reshape(physics.qd.shape[:-1] + (3, 3))
+        jac_local = tip_jacobian(fk)
+        jac_w = jnp.einsum("fij,...fjk->...fik", MOUNT_ROTS, jac_local)
+        tip_linvel = jnp.einsum("...fij,...fj->...fi", jac_w, qd_f)
+        tip_angvel_local = tip_angular_velocity(fk, qd_f)
+        tip_angvel = jnp.einsum("fij,...fj->...fi", MOUNT_ROTS, tip_angvel_local)
+        tip_quat = matrix_to_quat(tip_rot_w)
+        fingertip_state = jnp.concatenate(
+            [tips_w, tip_quat, tip_linvel, tip_angvel], axis=-1
+        )
     object_state = jnp.concatenate(
         [physics.cube_pos, physics.cube_quat, physics.cube_linvel, physics.cube_angvel],
         axis=-1,
@@ -642,7 +647,7 @@ def env_step(static: EnvStatic, params: EnvParams, state: EnvState,
         goal_pose = jnp.concatenate([goal_pose[..., 0:3], goal_quat], axis=-1)
 
     # post-step: histories, rewards, termination
-    fingertip_state, object_state = _fingertip_object_states(physics)
+    fingertip_state, object_state = _fingertip_object_states(static, physics)
     fingertip_hist = jnp.stack([fingertip_state, state.fingertip_hist[:, 0]], axis=1)
     object_hist = jnp.stack([object_state, state.object_hist[:, 0]], axis=1)
 
@@ -740,7 +745,7 @@ def env_reset(static: EnvStatic, params: EnvParams, key: jax.Array):
     physics, tip_wrench = _simulate(static, state.physics, tau, state.scene, 1)
     frames = state.frames + 1
 
-    fingertip_state, object_state = _fingertip_object_states(physics)
+    fingertip_state, object_state = _fingertip_object_states(static, physics)
     fingertip_hist = jnp.stack([fingertip_state, state.fingertip_hist[:, 0]], axis=1)
     object_hist = jnp.stack([object_state, state.object_hist[:, 0]], axis=1)
     obs = _fill_observations(

@@ -32,6 +32,7 @@ from leibnizgym_tpu.ops.soa import (
     m3_rot_x,
     m3_rot_y,
     quat_integrate4,
+    quat_normalize4,
     quat_to_m3,
     v3_add,
     v3_cross,
@@ -582,6 +583,88 @@ def _substep_scalar(state: PhysicsState, tau: jax.Array, params: SceneParams,
     tip_impulse = jnp.stack([jnp.stack(list(t)) for t in tip_imp])
     tip_torque_impulse = jnp.stack([jnp.stack(list(t)) for t in tip_timp])
     return new_state, tip_impulse, tip_torque_impulse
+
+
+def _quat_from_m3(m):
+    """Branch-free Shepperd selection, scalar components (cf. utils.math)."""
+    m00, m01, m02 = m[0]
+    m10, m11, m12 = m[1]
+    m20, m21, m22 = m[2]
+    trace = m00 + m11 + m22
+
+    def sq(x):
+        return jnp.sqrt(jnp.maximum(x, 1e-12))
+
+    qw0 = sq(1.0 + trace) * 0.5
+    s0 = 0.25 / qw0
+    c0 = ((m21 - m12) * s0, (m02 - m20) * s0, (m10 - m01) * s0, qw0)
+    qx1 = sq(1.0 + m00 - m11 - m22) * 0.5
+    s1 = 0.25 / qx1
+    c1 = (qx1, (m01 + m10) * s1, (m02 + m20) * s1, (m21 - m12) * s1)
+    qy2 = sq(1.0 - m00 + m11 - m22) * 0.5
+    s2 = 0.25 / qy2
+    c2 = ((m01 + m10) * s2, qy2, (m12 + m21) * s2, (m02 - m20) * s2)
+    qz3 = sq(1.0 - m00 - m11 + m22) * 0.5
+    s3 = 0.25 / qz3
+    c3 = ((m02 + m20) * s3, (m12 + m21) * s3, qz3, (m10 - m01) * s3)
+
+    cond0 = trace > 0.0
+    cond1 = (m00 > m11) & (m00 > m22)
+    cond2 = m11 > m22
+    q = tuple(
+        jnp.where(cond0, c0[i], jnp.where(cond1, c1[i], jnp.where(cond2, c2[i], c3[i])))
+        for i in range(4)
+    )
+    return quat_normalize4(q)
+
+
+def fingertip_states_v2(q9: jax.Array, qd9: jax.Array) -> jax.Array:
+    """Fingertip 13-dim states (3, 13) via the scalar FK path.
+
+    SoA replacement for the AoS observation path (kinematics.all_tips_world +
+    matrix_to_quat over (N, 3, 3) tensors). Unbatched; vmap over envs.
+    """
+    rows = []
+    for f in range(3):
+        q = (q9[3 * f], q9[3 * f + 1], q9[3 * f + 2])
+        qd = (qd9[3 * f], qd9[3 * f + 1], qd9[3 * f + 2])
+        c1, s1 = jnp.cos(q[0]), jnp.sin(q[0])
+        c2, s2 = jnp.cos(q[1]), jnp.sin(q[1])
+        c3, s3 = jnp.cos(q[2]), jnp.sin(q[2])
+        r1 = m3_rot_y(c1, s1)
+        r2 = m3_mul(r1, m3_rot_x(c2, s2))
+        r3 = m3_mul(r2, m3_rot_x(c3, s3))
+        p2 = m3_matvec(r1, _O2)
+        p3 = v3_add(p2, m3_matvec(r2, _O3))
+        tip = v3_add(p3, m3_matvec(r3, _TIP))
+        zero = jnp.zeros_like(c1)
+        a1 = (zero, jnp.ones_like(c1), zero)
+        a2 = (r1[0][0], r1[1][0], r1[2][0])
+        a3 = (r2[0][0], r2[1][0], r2[2][0])
+        joints = ((zero, zero, zero), p2, p3)
+        axes = (a1, a2, a3)
+        # linear velocity: sum_i qd_i * (a_i x (tip - p_i)); angular: sum a_i qd_i
+        lin = (zero, zero, zero)
+        ang = (zero, zero, zero)
+        for i in range(3):
+            col = v3_cross(axes[i], v3_sub(tip, joints[i]))
+            lin = v3_add(lin, v3_scale(col, qd[i]))
+            ang = v3_add(ang, v3_scale(axes[i], qd[i]))
+        # world frame via the constant mount rotation
+        tip_w = v3_add((0.0, 0.0, _MOUNT_Z), _mount_rotate(f, tip))
+        lin_w = _mount_rotate(f, lin)
+        ang_w = _mount_rotate(f, ang)
+        c, s = _MOUNT_CS[f]
+        mount = ((c, -s, 0.0), (s, c, 0.0), (0.0, 0.0, 1.0))
+        rot_w = m3_mul(mount, r3)
+        quat_w = _quat_from_m3(rot_w)
+        rows.append(
+            jnp.stack([tip_w[0], tip_w[1], tip_w[2],
+                       quat_w[0], quat_w[1], quat_w[2], quat_w[3],
+                       lin_w[0], lin_w[1], lin_w[2],
+                       ang_w[0], ang_w[1], ang_w[2]])
+        )
+    return jnp.stack(rows)
 
 
 def physics_step_v2(

@@ -129,8 +129,8 @@ def tip_velocity(fk: FingerFK, qd: jax.Array) -> jax.Array:
 
 
 def tip_angular_velocity(fk: FingerFK, qd: jax.Array) -> jax.Array:
-    """Angular velocity of the tip link: sum of axis_i * qd_i."""
-    return jnp.einsum("...ji,...j->...i", jnp.swapaxes(fk.joint_axis, -1, -2), qd)
+    """Angular velocity of the tip link: sum over joints of axis_j * qd_j."""
+    return jnp.einsum("...jd,...j->...d", fk.joint_axis, qd)
 
 
 # ---------------------------------------------------------------------------
