@@ -255,6 +255,12 @@ def default_args() -> Dict[str, Any]:
         "wandb_log": False,
         "max_epochs": None,  # TPU-build extra: cap epochs from the CLI
         "play_steps": 1000,
+        # multi-host: initialize jax.distributed before device use (pod
+        # slices; auto-detected rendezvous unless coordinator given)
+        "multihost": False,
+        "coordinator_address": None,
+        "num_processes": None,
+        "process_id": None,
     }
 
 

@@ -98,6 +98,7 @@ class EnvStatic:
     dt: float
     dr_activate: bool
     engine: str  # "soa" (TPU-optimized scalar layout) | "reference"
+    use_keypoint_obs: bool  # append 8 object + 8 goal cube-corner keypoints
     reward_specs: Tuple[RewardTermSpec, ...]
     solver: SolverConfig
 
@@ -107,7 +108,8 @@ class EnvStatic:
 
     @property
     def obs_dim(self) -> int:
-        return 9 + 9 + 7 + 7 + self.action_dim
+        base = 9 + 9 + 7 + 7 + self.action_dim
+        return base + (48 if self.use_keypoint_obs else 0)
 
     @property
     def state_dim(self) -> int:
@@ -213,6 +215,7 @@ def build_static(config: dict) -> EnvStatic:
         dt=float(sim["dt"]),
         dr_activate=bool(config.get("domain_randomization", {}).get("activate", False)),
         engine=engine,
+        use_keypoint_obs=bool(config.get("use_keypoint_obs", False)),
         reward_specs=tuple(specs[name] for name in sorted(specs)),
         solver=solver,
     )
@@ -259,6 +262,14 @@ def build_params(static: EnvStatic, object_dims: CuboidalObject) -> EnvParams:
     obs_high = np.concatenate(
         [jpos_high, jvel_high, obj_pos_high, ori_high, obj_pos_high, ori_high, obs_act_high]
     )
+    if static.use_keypoint_obs:
+        # 8 object + 8 goal cube corners: position limits expanded by the
+        # cube half-diagonal
+        pad = float(object_dims.radius_3d)
+        kp_low = np.tile(obj_pos_low - pad, 8).astype(np.float32)
+        kp_high = np.tile(obj_pos_high + pad, 8).astype(np.float32)
+        obs_low = np.concatenate([obs_low, kp_low, kp_low])
+        obs_high = np.concatenate([obs_high, kp_high, kp_high])
 
     if static.asymmetric_obs:
         ftip_low = np.concatenate(
@@ -468,14 +479,38 @@ def _fingertip_object_states(static: EnvStatic, physics: PhysicsState):
     return fingertip_state, object_state
 
 
+_KP_SIGNS = jnp.array(
+    [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0) for sz in (-1.0, 1.0)]
+)
+
+
+def _cube_keypoints(pos: jax.Array, quat: jax.Array, half: jax.Array) -> jax.Array:
+    """8 cube-corner world positions, flattened (..., 24)."""
+    from leibnizgym_tpu.utils.math import quat_rotate
+
+    corners_local = _KP_SIGNS * half[..., None, :]  # (..., 8, 3)
+    corners = pos[..., None, :] + quat_rotate(quat[..., None, :], corners_local)
+    return corners.reshape(corners.shape[:-2] + (24,))
+
+
+def _assemble_obs_raw(
+    static: EnvStatic, state_scene: SceneParams, physics: PhysicsState,
+    object_state: jax.Array, goal_pose: jax.Array, action_buf: jax.Array,
+):
+    parts = [physics.q, physics.qd, object_state[..., 0:7], goal_pose, action_buf]
+    if static.use_keypoint_obs:
+        half = state_scene.cube_half_extents
+        parts.append(_cube_keypoints(physics.cube_pos, physics.cube_quat, half))
+        parts.append(_cube_keypoints(goal_pose[..., 0:3], goal_pose[..., 3:7], half))
+    return jnp.concatenate(parts, axis=-1)
+
+
 def _fill_observations(
     static: EnvStatic, params: EnvParams, physics: PhysicsState,
     object_state: jax.Array, goal_pose: jax.Array, action_buf: jax.Array,
+    scene: SceneParams,
 ):
-    obs = jnp.concatenate(
-        [physics.q, physics.qd, object_state[..., 0:7], goal_pose, action_buf],
-        axis=-1,
-    )
+    obs = _assemble_obs_raw(static, scene, physics, object_state, goal_pose, action_buf)
     if static.normalize_obs:
         obs = scale_transform(obs, params.obs_scale_low, params.obs_scale_high)
     return obs
@@ -683,9 +718,8 @@ def env_step(static: EnvStatic, params: EnvParams, state: EnvState,
     else:
         dones = reset_buf | goal_reset_buf
 
-    obs_raw = jnp.concatenate(
-        [physics.q, physics.qd, object_state[..., 0:7], goal_pose, action_buf],
-        axis=-1,
+    obs_raw = _assemble_obs_raw(
+        static, state.scene, physics, object_state, goal_pose, action_buf
     )
     obs = (
         scale_transform(obs_raw, params.obs_scale_low, params.obs_scale_high)
@@ -749,7 +783,8 @@ def env_reset(static: EnvStatic, params: EnvParams, key: jax.Array):
     fingertip_hist = jnp.stack([fingertip_state, state.fingertip_hist[:, 0]], axis=1)
     object_hist = jnp.stack([object_state, state.object_hist[:, 0]], axis=1)
     obs = _fill_observations(
-        static, params, physics, object_state, state.goal_pose, state.action_buf
+        static, params, physics, object_state, state.goal_pose, state.action_buf,
+        state.scene,
     )
     state = state.replace(
         physics=physics,
@@ -795,6 +830,9 @@ class TrifingerEnv:
             "robot_q": 9, "robot_u": 9, "object_q": 7, "object_q_des": 7,
             "command": self.static.action_dim,
         }
+        if self.static.use_keypoint_obs:
+            self.obs_spec["object_keypoints"] = 24
+            self.obs_spec["goal_keypoints"] = 24
         self.action_spec = {"command": self.static.action_dim}
         if self.static.asymmetric_obs:
             self.state_spec = {

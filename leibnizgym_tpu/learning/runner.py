@@ -62,6 +62,7 @@ class Runner:
         logdir: str = "logs",
         seed: int = 7,
         verbose: bool = False,
+        devices=None,
     ):
         self.verbose = verbose
         num_actors = int(task_cfg.get("num_instances", 256))
@@ -69,6 +70,19 @@ class Runner:
         self.env = TrifingerEnv(config=task_cfg, verbose=verbose)
         self.static, self.env_params = self.env.static, self.env.params
         self.seed = seed
+
+        # data-parallel mesh over all (or the given) devices: env-axis leaves
+        # sharded, learner replicated; XLA inserts the gradient all-reduce
+        devices = devices if devices is not None else jax.devices()
+        self.mesh = None
+        if len(devices) > 1 and num_actors % len(devices) == 0:
+            from leibnizgym_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(devices)
+            print_info(
+                f"Runner: sharding {num_actors} envs over {len(devices)} "
+                f"devices ({devices[0].platform})"
+            )
 
         # log directories (reference run_rlg:219-246: nn/, runs/, timestamped)
         stamp = datetime.now().strftime("%m-%d-%Y-%H-%M-%S")
@@ -94,6 +108,20 @@ class Runner:
     def reset(self):
         key = jax.random.PRNGKey(self.seed)
         self.ts = init_train_state(self.ppo_cfg, self.static, self.env_params, key)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from leibnizgym_tpu.parallel.mesh import shard_batch_pytree
+
+            n = self.static.num_envs
+            data = NamedSharding(self.mesh, P("data"))
+            self.ts = self.ts.replace(
+                env_state=shard_batch_pytree(self.ts.env_state, self.mesh, n),
+                obs=jax.device_put(self.ts.obs, data),
+                states=jax.device_put(self.ts.states, data),
+                ep_return=jax.device_put(self.ts.ep_return, data),
+                ep_len=jax.device_put(self.ts.ep_len, data),
+            )
 
     # ----------------------------------------------------------- checkpointing
 

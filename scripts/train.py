@@ -31,6 +31,15 @@ def main(argv):
     cfg = update_cfg(parse_cli(argv))
     args = cfg["args"]
 
+    if args.get("multihost"):
+        from leibnizgym_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=args.get("coordinator_address"),
+            num_processes=args.get("num_processes"),
+            process_id=args.get("process_id"),
+        )
+
     if args["wandb_log"]:
         try:
             import wandb

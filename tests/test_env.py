@@ -159,6 +159,50 @@ class TestCommandModes:
         assert bool(jnp.isfinite(obs).all())
 
 
+class TestKeypointObs:
+    def test_keypoint_dims_and_geometry(self):
+        e = TrifingerEnv(
+            config={"num_instances": 4, "command_mode": "torque",
+                    "use_keypoint_obs": True, "normalize_obs": False,
+                    "sim": {"substeps": 2}},
+            verbose=False,
+        )
+        assert e.get_obs_dim() == 89
+        obs = e.reset()
+        e.step(jnp.zeros((4, 9)))
+        obs, *_ = e.step(jnp.zeros((4, 9)))
+        # unnormalized keypoints: each object corner is half-diagonal away
+        # from the object center
+        center = np.asarray(obs[:, 18:21])
+        kp = np.asarray(obs[:, 41:65]).reshape(4, 8, 3)
+        dist = np.linalg.norm(kp - center[:, None, :], axis=-1)
+        half_diag = 0.065 * np.sqrt(3) / 2
+        assert np.allclose(dist, half_diag, atol=1e-5)
+
+
+class TestLegacyConfig:
+    def test_load_cfg_yaml_files(self):
+        from leibnizgym_tpu.config.config_utils import get_args, load_cfg
+
+        cfg_env, cfg_train = load_cfg("Trifinger", "asymm")
+        assert cfg_env["task_difficulty"] == 1
+        assert cfg_train["params"]["config"]["minibatch_size"] == 8192
+        args = get_args(["--num_envs", "64", "--task_difficulty", "3"])
+        from leibnizgym_tpu.config.config_utils import update_cfg_from_args
+
+        cfg_env, cfg_train = update_cfg_from_args(cfg_env, cfg_train, args)
+        assert cfg_env["num_instances"] == 64
+        assert cfg_env["task_difficulty"] == 3
+        assert cfg_train["params"]["config"]["minibatch_size"] == 64
+
+    def test_invalid_task_rejected(self):
+        from leibnizgym_tpu.config.config_utils import load_cfg
+        from leibnizgym_tpu.utils.errors import InvalidTaskNameError
+
+        with pytest.raises(InvalidTaskNameError):
+            load_cfg("NotATask")
+
+
 class TestGoalMovement:
     def test_rotating_goal(self):
         e = TrifingerEnv(
