@@ -1,7 +1,8 @@
-"""Default configuration dictionaries for the simulator and TriFinger task.
+"""Default configuration dictionaries for the TriFinger task.
 
 Key-compatible with the reference so existing configs port over unchanged:
-- sim defaults mirror ISAACGYM_DEFAULT_CONFIG_DICT (env_base.py:30-77)
+- sim defaults live in ``envs.env_base.SIM_DEFAULT_CONFIG_DICT`` (mirroring
+  ISAACGYM_DEFAULT_CONFIG_DICT at env_base.py:30-77) and are re-exported here
 - task defaults mirror TRIFINGER_DEFAULT_CONFIG_DICT (trifinger_env.py:28-115)
 
 PhysX-only knobs that have no meaning on the TPU engine (gpu pipeline flags,
@@ -12,36 +13,7 @@ bounce_threshold_velocity, contact_offset) are honored.
 
 from __future__ import annotations
 
-SIM_DEFAULT_CONFIG_DICT = {
-    "seed": 0,
-    "num_instances": 1,
-    "spacing": 1.0,  # accepted for parity; env instances don't share a scene
-    "control_decimation": 1,
-    "episode_length": None,
-    "aggregate_mode": True,  # no-op on TPU
-    "physics_engine": "tpu",  # informational; single backend
-    "sim": {
-        "dt": 0.02,
-        "substeps": 2,
-        "up_axis": "z",
-        "gravity": [0.0, 0.0, -9.81],
-        "num_client_threads": 0,  # no-op
-        "use_gpu_pipeline": False,  # no-op
-        "physx": {
-            "solver_type": 1,
-            "num_position_iterations": 4,
-            "num_velocity_iterations": 0,
-            "num_threads": 4,  # no-op
-            "use_gpu": False,  # no-op
-            "num_subscenes": 0,  # no-op
-            "max_gpu_contact_pairs": 8 * 1024 * 1024,  # no-op
-            "contact_offset": 0.002,
-            "rest_offset": 0.0,
-            "bounce_threshold_velocity": 0.5,
-            "max_depenetration_velocity": 1000.0,
-        },
-    },
-}
+from leibnizgym_tpu.envs.env_base import SIM_DEFAULT_CONFIG_DICT  # noqa: F401
 
 TRIFINGER_DEFAULT_CONFIG_DICT = {
     "episode_length": 750,
@@ -108,6 +80,10 @@ TRIFINGER_DEFAULT_CONFIG_DICT = {
     # logical_and of reset & goal_reset — see SURVEY.md §3.2 warning);
     # "or" is the arguably-intended fix.
     "dones_mode": "and",
+    # physics engine implementation: "soa" (TPU-optimized) | "reference"
+    "engine": "soa",
+    # optional cube-corner keypoint observations (8 object + 8 goal corners)
+    "use_keypoint_obs": False,
     # domain randomization (reference dr/ package is an empty stub; these
     # realize the randomization wish-list at trifinger_env.py:385-392)
     "domain_randomization": {

@@ -802,7 +802,10 @@ def env_reset(static: EnvStatic, params: EnvParams, key: jax.Array):
 # ---------------------------------------------------------------------------
 
 
-class TrifingerEnv:
+from leibnizgym_tpu.envs.env_base import EnvBase
+
+
+class TrifingerEnv(EnvBase):
     """Stateful wrapper with the reference's public surface
     (``reset()``, ``step(action)``, buffer properties, ``dump_config``).
 
@@ -817,37 +820,36 @@ class TrifingerEnv:
             merged = merged_dict(merged, config)
         if merged["asymmetric_obs"]:
             merged["enable_ft_sensors"] = True
-        self.config = merged
-        self.device = device
-        self.verbose = verbose
-        self.visualize = visualize  # no viewer on TPU; states can be dumped
 
         self._object_dims = CuboidalObject(0.065)
         self.static = build_static(merged)
         self.params = build_params(self.static, self._object_dims)
 
-        self.obs_spec = {
+        obs_spec = {
             "robot_q": 9, "robot_u": 9, "object_q": 7, "object_q_des": 7,
             "command": self.static.action_dim,
         }
         if self.static.use_keypoint_obs:
-            self.obs_spec["object_keypoints"] = 24
-            self.obs_spec["goal_keypoints"] = 24
-        self.action_spec = {"command": self.static.action_dim}
+            obs_spec["object_keypoints"] = 24
+            obs_spec["goal_keypoints"] = 24
+        action_spec = {"command": self.static.action_dim}
         if self.static.asymmetric_obs:
-            self.state_spec = {
-                **self.obs_spec,
+            state_spec = {
+                **obs_spec,
                 "object_u": 6, "fingertip_state": 39, "robot_a": 9,
                 "fingertip_wrench": 18,
             }
         else:
-            self.state_spec = {}
+            state_spec = {}
+
+        EnvBase.__init__(
+            self, obs_spec, action_spec, state_spec, merged,
+            device=device, verbose=False, visualize=visualize,
+        )
+        self.verbose = verbose
 
         self._step_fn = jax.jit(env_step, static_argnums=0)
         self._reset_fn = jax.jit(env_reset, static_argnums=0)
-        self._key = jax.random.PRNGKey(int(merged["seed"]))
-        self._state: Optional[EnvState] = None
-        self._last = None  # (obs, states, reward, dones, info)
 
         if verbose:
             print_info(
@@ -857,53 +859,7 @@ class TrifingerEnv:
                 f"actions={self.static.action_dim}"
             )
 
-    # -- properties mirroring IsaacEnvBase ---------------------------------
-
-    @property
-    def num_instances(self) -> int:
-        return self.static.num_envs
-
-    def get_num_instances(self) -> int:
-        return self.static.num_envs
-
-    def get_obs_dim(self) -> int:
-        return self.static.obs_dim
-
-    def get_state_dim(self) -> int:
-        return self.static.state_dim
-
-    def get_action_dim(self) -> int:
-        return self.static.action_dim
-
-    @property
-    def env_steps_count(self) -> int:
-        frames = int(self._state.frames) if self._state is not None else 0
-        return frames * self.static.num_envs
-
-    @property
-    def state(self) -> EnvState:
-        return self._state
-
-    @property
-    def obs_buf(self):
-        return self._last[0] if self._last else None
-
-    @property
-    def states_buf(self):
-        return self._last[1] if self._last else None
-
-    @property
-    def reward_buf(self):
-        return self._last[2] if self._last else None
-
-    @property
-    def dones_buf(self):
-        return self._last[3] if self._last else None
-
     # -- operations ---------------------------------------------------------
-
-    def seed(self, seed: int = 0):
-        self._key = jax.random.PRNGKey(int(seed))
 
     def reset(self):
         self._key, sub = jax.random.split(self._key)
@@ -927,20 +883,3 @@ class TrifingerEnv:
 
     def get_state(self):
         return self._last[1]
-
-    def render(self):
-        pass  # no on-TPU viewer; see scripts/replay_viewer.py
-
-    def close(self):
-        pass
-
-    def dump_config(self, filename: str):
-        import os
-
-        import yaml
-
-        if not filename.endswith(".yaml"):
-            filename += ".yaml"
-        os.makedirs(os.path.dirname(filename) or ".", exist_ok=True)
-        with open(filename, "w") as f:
-            yaml.dump(self.config, f)

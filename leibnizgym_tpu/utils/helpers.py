@@ -29,3 +29,26 @@ def update_dict(orig_dict: dict, new_dict: collections.abc.Mapping) -> dict:
 def merged_dict(orig_dict: dict, new_dict: collections.abc.Mapping) -> dict:
     """Pure variant of :func:`update_dict` — deep-copies before merging."""
     return update_dict(copy.deepcopy(orig_dict), new_dict)
+
+
+def set_np_formatting():
+    """Numpy print formatting (rlgpu.utils.config.set_np_formatting parity)."""
+    import numpy as np
+
+    np.set_printoptions(
+        edgeitems=30, infstr="inf", linewidth=4000, nanstr="nan",
+        precision=2, suppress=False, threshold=10000, formatter=None,
+    )
+
+
+def set_seed(seed: int):
+    """Seed python/numpy RNGs and return a jax PRNG key
+    (rlgpu.utils.config.set_seed parity; jax randomness is key-based)."""
+    import random
+
+    import jax
+    import numpy as np
+
+    random.seed(seed)
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
