@@ -181,6 +181,81 @@ def parse_urdf(path: str) -> UrdfModel:
         lib.urdf_free(ptr)
 
 
+def export_trifinger_urdf(path: str):
+    """Write a clean-room TriFinger URDF generated from the built-in model
+    tables (models.trifinger) — the framework's own asset, also used as a
+    parser round-trip fixture. Collision geometry uses the analytic
+    primitives of the TPU engine (tip spheres), not meshes."""
+    from leibnizgym_tpu.models import trifinger as tf
+
+    def fmt(v):
+        return " ".join(f"{float(x):.10g}" for x in v)
+
+    lines = ['<?xml version="1.0"?>', '<robot name="trifinger_tpu">']
+    lines += [
+        '  <link name="base_link"/>',
+        '  <link name="upper_holder_link"/>',
+        '  <joint name="base_to_upper_holder_joint" type="fixed">',
+        '    <parent link="base_link"/>',
+        '    <child link="upper_holder_link"/>',
+        f'    <origin xyz="0 0 {tf.MOUNT_HEIGHT}"/>',
+        "  </joint>",
+    ]
+    link_names = ["upper", "middle", "lower"]
+    for f, yaw in enumerate(tf.FINGER_MOUNT_YAWS):
+        suffix = ["0", "120", "240"][f]
+        lines += [
+            f'  <link name="finger_base_link_{suffix}"/>',
+            f'  <joint name="holder_to_finger_{suffix}" type="fixed">',
+            '    <parent link="upper_holder_link"/>',
+            f'    <child link="finger_base_link_{suffix}"/>',
+            f'    <origin rpy="0 0 {float(yaw):.11g}" xyz="0 0 0"/>',
+            "  </joint>",
+        ]
+        parent = f"finger_base_link_{suffix}"
+        for j in range(3):
+            child = f"finger_{link_names[j]}_link_{suffix}"
+            inertia = tf.LINK_INERTIAS[j]
+            lines += [
+                f'  <link name="{child}">',
+                "    <inertial>",
+                f'      <origin xyz="{fmt(tf.LINK_COMS[j])}"/>',
+                f'      <mass value="{float(tf.LINK_MASSES[j]):.10g}"/>',
+                f'      <inertia ixx="{inertia[0][0]:.10g}" iyy="{inertia[1][1]:.10g}"'
+                f' izz="{inertia[2][2]:.10g}" ixy="{inertia[0][1]:.10g}"'
+                f' ixz="{inertia[0][2]:.10g}" iyz="{inertia[1][2]:.10g}"/>',
+                "    </inertial>",
+                "  </link>",
+                f'  <joint name="finger_{["base_to_upper", "upper_to_middle", "middle_to_lower"][j]}_joint_{suffix}" type="revolute">',
+                f'    <parent link="{parent}"/>',
+                f'    <child link="{child}"/>',
+                f'    <origin xyz="{fmt(tf.JOINT_OFFSETS[j])}"/>',
+                f'    <axis xyz="{fmt(tf.JOINT_AXES[j])}"/>',
+                f'    <limit lower="{float(tf.URDF_JOINT_LOWER[j]):.10g}"'
+                f' upper="{float(tf.URDF_JOINT_UPPER[j]):.10g}"'
+                f' effort="{tf.MAX_TORQUE_NM}" velocity="{tf.MAX_VELOCITY_RADPS}"/>',
+                "  </joint>",
+            ]
+            parent = child
+        lines += [
+            f'  <link name="finger_tip_link_{suffix}">',
+            "    <collision>",
+            f'      <origin xyz="{fmt(tf.TIP_SPHERE_OFFSET)}"/>',
+            f'      <geometry><sphere radius="{tf.TIP_SPHERE_RADIUS}"/></geometry>',
+            "    </collision>",
+            "  </link>",
+            f'  <joint name="finger_lower_to_tip_joint_{suffix}" type="fixed">',
+            f'    <parent link="{parent}"/>',
+            f'    <child link="finger_tip_link_{suffix}"/>',
+            f'    <origin xyz="{fmt(tf.TIP_OFFSET)}"/>',
+            "  </joint>",
+        ]
+    lines.append("</robot>")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return path
+
+
 def finger_chain_tables(model: UrdfModel, finger_suffix: str = "0") -> dict:
     """Extract the per-finger chain tables (joint offsets, axes, tip offset,
     limits) for a trifinger-family URDF — the data that feeds

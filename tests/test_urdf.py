@@ -100,3 +100,18 @@ def test_edu_variant_parses(lib_ok):
         pytest.skip("edu variant not present")
     m = urdf.parse_urdf(path)
     assert len(m.links) > 0 and len(m.joints) > 0
+
+
+def test_export_roundtrip(tmp_path, lib_ok):
+    """Clean-room URDF export -> parse -> tables must match the built-ins."""
+    from leibnizgym_tpu.models.urdf import export_trifinger_urdf
+
+    path = export_trifinger_urdf(str(tmp_path / "trifinger_tpu.urdf"))
+    m = urdf.parse_urdf(path)
+    t = urdf.finger_chain_tables(m, "120")
+    assert np.allclose(t["joint_offsets"], tf_model.JOINT_OFFSETS, atol=1e-6)
+    assert np.allclose(t["joint_axes"], tf_model.JOINT_AXES, atol=1e-6)
+    assert np.allclose(t["tip_offset"], tf_model.TIP_OFFSET, atol=1e-6)
+    tip = m.links["finger_tip_link_0"]
+    assert tip.geom_type == 2  # analytic sphere collision
+    assert abs(tip.geom_size[0] - tf_model.TIP_SPHERE_RADIUS) < 1e-9
