@@ -75,6 +75,10 @@ class PPOConfig:
     cv_minibatch_size: int = 8192
     shuffle_minibatches: bool = True
     units: Tuple[int, ...] = (400, 200, 100)
+    # compute dtype of the MLP towers ("float32" | "bfloat16"): bfloat16 puts
+    # the matmuls on the MXU fast path; params and the policy math (neglogp,
+    # KL, losses) stay float32 either way
+    network_dtype: str = "float32"
 
     @classmethod
     def from_rlg_params(cls, params: dict, num_actors: int) -> "PPOConfig":
@@ -110,6 +114,11 @@ class PPOConfig:
             cv_mini_epochs=int(cv.get("mini_epochs", 4)) if cv else 4,
             cv_minibatch_size=int(cv.get("minibatch_size", num_actors)) if cv else 8192,
             units=units,
+            network_dtype=(
+                "bfloat16"
+                if (c.get("mixed_precision") or c.get("network_dtype") == "bfloat16")
+                else "float32"
+            ),
         )
 
 
@@ -131,8 +140,13 @@ class PPOTrainState:
 
 
 def make_networks(cfg: PPOConfig, static: EnvStatic):
-    actor_critic = ActorCritic(action_dim=static.action_dim, units=cfg.units)
-    central_value = CentralValue(units=cfg.units) if (
+    import jax.numpy as _jnp
+
+    dtype = _jnp.bfloat16 if cfg.network_dtype == "bfloat16" else _jnp.float32
+    actor_critic = ActorCritic(
+        action_dim=static.action_dim, units=cfg.units, dtype=dtype
+    )
+    central_value = CentralValue(units=cfg.units, dtype=dtype) if (
         cfg.central_value and static.asymmetric_obs
     ) else None
     return actor_critic, central_value

@@ -27,7 +27,7 @@ from leibnizgym_tpu.learning.ppo import (
     make_networks,
     train_iteration,
 )
-from leibnizgym_tpu.utils import print_info, print_notify, print_warn
+from leibnizgym_tpu.utils import print_info, print_notify
 
 try:
     from tensorboardX import SummaryWriter

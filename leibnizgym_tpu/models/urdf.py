@@ -15,7 +15,7 @@ import ctypes
 import dataclasses
 import os
 import subprocess
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

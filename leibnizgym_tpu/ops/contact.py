@@ -25,7 +25,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from leibnizgym_tpu.ops.types import SceneParams, SolverConfig
+from leibnizgym_tpu.ops.types import SolverConfig
 from leibnizgym_tpu.utils.math import quat_to_matrix
 
 # 8 corner sign combinations of a box

@@ -27,7 +27,6 @@ from leibnizgym_tpu.utils.platform import ensure_requested_platform
 ensure_requested_platform()
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 

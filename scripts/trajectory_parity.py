@@ -32,7 +32,6 @@ from leibnizgym_tpu.utils.platform import ensure_requested_platform
 ensure_requested_platform()
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from leibnizgym_tpu.envs.trifinger.env import TrifingerEnv

@@ -18,7 +18,6 @@ from leibnizgym_tpu.utils.platform import ensure_requested_platform
 ensure_requested_platform()
 
 import jax
-import jax.numpy as jnp
 
 from leibnizgym_tpu.envs.trifinger.env import TrifingerEnv, env_reset, env_step
 from leibnizgym_tpu.utils import print_info
