@@ -257,6 +257,7 @@ def default_args() -> Dict[str, Any]:
         "play_steps": 1000,
         # multi-host: initialize jax.distributed before device use (pod
         # slices; auto-detected rendezvous unless coordinator given)
+        "watchdog_timeout": None,  # seconds; exit(42) on stall for supervisor
         "multihost": False,
         "coordinator_address": None,
         "num_processes": None,

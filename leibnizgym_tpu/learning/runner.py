@@ -170,19 +170,46 @@ class Runner:
 
     # ---------------------------------------------------------------- training
 
-    def train(self, max_epochs: Optional[int] = None):
+    def _start_watchdog(self, timeout: float):
+        """Failure detector for wedged device tunnels: if no epoch completes
+        within ``timeout`` seconds, exit(42) so a supervisor (e.g.
+        scripts/supervise_train.sh) can restart with --checkpoint resume.
+        A blocked XLA call cannot be interrupted from Python, so a hard exit
+        is the only reliable escape."""
+        import threading
+
+        self._last_progress = time.time()
+
+        def watch():
+            while True:
+                time.sleep(max(timeout / 4, 1.0))
+                if time.time() - self._last_progress > timeout:
+                    print_notify(
+                        f"WATCHDOG: no training progress for {timeout:.0f}s — "
+                        "exiting 42 for supervised restart"
+                    )
+                    os._exit(42)
+
+        t = threading.Thread(target=watch, daemon=True)
+        t.start()
+
+    def train(self, max_epochs: Optional[int] = None,
+              watchdog_timeout: Optional[float] = None):
         if self.ts is None:
             self.reset()
         cfg = self.ppo_cfg
         epochs = max_epochs if max_epochs is not None else cfg.max_epochs
         best_reward = -float("inf")
         t_start = time.time()
+        if watchdog_timeout:
+            self._start_watchdog(watchdog_timeout)
         for epoch in range(1, epochs + 1):
             t0 = time.time()
             self.ts, metrics = self._train_iter(
                 cfg, self.static, self.env_params, self.ts
             )
             metrics = jax.device_get(metrics)
+            self._last_progress = time.time()
             dt = time.time() - t0
             frame = int(metrics["info/frames"])
             fin_cnt = float(metrics["episodes/finished_count"])

@@ -24,6 +24,7 @@ def run_training(
     max_epochs: Optional[int] = None,
     play_steps: int = 1000,
     verbose: bool = False,
+    watchdog_timeout: Optional[float] = None,
 ):
     """Train or play, mirroring rl_games Runner.run(vargs)."""
     runner = Runner(
@@ -37,7 +38,7 @@ def run_training(
     if checkpoint:
         runner.restore(checkpoint)
     if train:
-        return runner.train(max_epochs=max_epochs)
+        return runner.train(max_epochs=max_epochs, watchdog_timeout=watchdog_timeout)
     return runner.play(num_steps=play_steps)
 
 

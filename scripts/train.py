@@ -68,6 +68,7 @@ def main(argv):
         max_epochs=args["max_epochs"],
         play_steps=args["play_steps"],
         verbose=args["verbose"],
+        watchdog_timeout=args.get("watchdog_timeout"),
     )
 
 
