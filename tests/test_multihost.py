@@ -1,0 +1,43 @@
+"""Multi-process (multi-host-style) distributed training test.
+
+Spawns 2 processes x 2 CPU devices with jax.distributed (gloo collectives)
+and runs sharded PPO train steps over the 4-device global mesh — validating
+the actual multi-host path the reference entirely lacks (SURVEY.md §2.3).
+"""
+
+import os
+import re
+import subprocess
+import sys
+
+import pytest
+
+_SCRIPT = os.path.join(os.path.dirname(__file__), "..", "scripts", "multihost_demo.py")
+
+
+@pytest.mark.timeout(600)
+def test_two_process_training():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["COORD_ADDR"] = "localhost:9917"
+    env["ENVS_PER_DEVICE"] = "4"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _SCRIPT, str(rank), "2"],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env,
+        )
+        for rank in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=570)
+        outs.append(out)
+        assert p.returncode == 0, out
+    losses = []
+    for out in outs:
+        m = re.search(r"loss ([-\d.]+)", out)
+        assert m, f"no loss line in: {out}"
+        losses.append(float(m.group(1)))
+    # replicated learner must agree exactly across processes
+    assert losses[0] == losses[1], losses
