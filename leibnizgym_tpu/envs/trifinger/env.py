@@ -686,7 +686,10 @@ def env_step(static: EnvStatic, params: EnvParams, state: EnvState,
     fingertip_hist = jnp.stack([fingertip_state, state.fingertip_hist[:, 0]], axis=1)
     object_hist = jnp.stack([object_state, state.object_hist[:, 0]], axis=1)
 
-    env_steps_count = (frames * n).astype(jnp.float32)
+    # cast BEFORE multiplying: frames * n in int32 overflows past 2.1B env
+    # steps and silently flips every scheduled reward window (float32 spacing
+    # at 1e10 is ~1e3 — irrelevant vs the 1e7-scale thresholds)
+    env_steps_count = frames.astype(jnp.float32) * n
     reward, term_values = compute_rewards(
         static.reward_spec_dict(),
         static.dt,

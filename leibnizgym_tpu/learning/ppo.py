@@ -136,7 +136,7 @@ class PPOTrainState:
     ep_len: jax.Array  # (N,)
     key: jax.Array
     epoch: jax.Array  # () int32
-    frame: jax.Array  # () int64-ish counter of env frames
+    frame: jax.Array  # () float32 counter of env frames (int32 overflows at 2.1B)
 
 
 def make_networks(cfg: PPOConfig, static: EnvStatic):
@@ -206,7 +206,7 @@ def init_train_state(
         ep_len=jnp.zeros(static.num_envs, jnp.int32),
         key=k_rest,
         epoch=jnp.zeros((), jnp.int32),
-        frame=jnp.zeros((), jnp.int32),
+        frame=jnp.zeros((), jnp.float32),
     )
 
 

@@ -165,6 +165,8 @@ class Runner:
                 for k in ("ac_params", "cv_params", "lr", "epoch", "frame")
             }
             payload = ckptr.restore(os.path.abspath(path), template)
+        # old checkpoints stored the frame counter as int32
+        payload["frame"] = jnp.asarray(payload["frame"], jnp.float32)
         self.ts = self.ts.replace(**payload)
         print_info(f"Restored checkpoint: {path}")
 

@@ -159,6 +159,29 @@ class TestCommandModes:
         assert bool(jnp.isfinite(obs).all())
 
 
+class TestFrameCounter:
+    def test_env_steps_count_no_int32_overflow(self):
+        """frames * num_envs must not wrap past 2^31 (it silently disables
+        scheduled reward windows — regression for a bug hit at 2.1B frames)."""
+        e = TrifingerEnv(
+            config={"num_instances": 8192, "command_mode": "torque",
+                    "sim": {"substeps": 2}},
+            verbose=False,
+        )
+        # reward term with a window that must still be ACTIVE at 3e9 steps
+        from leibnizgym_tpu.envs.trifinger.rewards import RewardTermSpec, _window_sched
+
+        spec = RewardTermSpec(name="t", activate=True, weight=1.0,
+                              sched_start=1e7, sched_end=1e12)
+        frames = jnp.asarray(400000, jnp.int32)  # 400k frames x 8192 envs = 3.3B
+        steps = frames.astype(jnp.float32) * 8192
+        assert float(steps) > 2**31, "test should exceed int32 range"
+        assert float(_window_sched(spec, steps)) == 1.0
+        # the buggy form wraps negative
+        wrapped = jnp.asarray(frames * 8192, jnp.int32)
+        assert int(wrapped) < 0
+
+
 class TestKeypointObs:
     def test_keypoint_dims_and_geometry(self):
         e = TrifingerEnv(
