@@ -325,14 +325,37 @@ def _broadcast_scene(scene: SceneParams, n: int) -> SceneParams:
 
 # ---------------------------------------------------------------------------
 # Sampling (batched; masked application by callers)
+#
+# All randomness for one reset comes from ONE uniform block (n, 25) and one
+# optional normal block (n, 8): a single threefry invocation pair instead of
+# ~18 separate draws/splits. Column layout:
+#   uniform:  0:18 robot noise | 18:21 object r,theta,yaw | 21:25 goal r,theta,z,yaw
+#   normal:   0:4 goal orientation | 4:8 goal angular velocity
 # ---------------------------------------------------------------------------
 
+_N_UNIFORM = 25
+_N_NORMAL = 8
 
-def _sample_robot_state(static: EnvStatic, params: EnvParams, key: jax.Array, n: int):
+
+def _needs_normals(static: EnvStatic) -> bool:
+    return static.task_difficulty in (4, 5, 6) or static.goal_rotation_active
+
+
+def _draw_reset_randoms(static: EnvStatic, key: jax.Array, n: int):
+    if _needs_normals(static):
+        ku, kn = jax.random.split(key)
+        return (
+            jax.random.uniform(ku, (n, _N_UNIFORM)),
+            jax.random.normal(kn, (n, _N_NORMAL)),
+        )
+    return jax.random.uniform(key, (n, _N_UNIFORM)), None
+
+
+def _sample_robot_state(static: EnvStatic, params: EnvParams, u: jax.Array, n: int):
     q = jnp.broadcast_to(params.dof_default_pos, (n, 9))
     qd = jnp.broadcast_to(params.dof_default_vel, (n, 9))
     if static.robot_reset_type == "random":
-        noise = 2.0 * jax.random.uniform(key, (n, 18)) - 1.0
+        noise = 2.0 * u[:, 0:18] - 1.0
         q = q + static.robot_dof_pos_stddev * noise[:, 0:9]
         qd = qd + static.robot_dof_vel_stddev * noise[:, 9:18]
     elif static.robot_reset_type not in ("default", "none"):
@@ -342,18 +365,17 @@ def _sample_robot_state(static: EnvStatic, params: EnvParams, key: jax.Array, n:
     return q, qd
 
 
-def _sample_object_state(static: EnvStatic, params: EnvParams, key: jax.Array, n: int):
+def _sample_object_state(static: EnvStatic, params: EnvParams, u: jax.Array, n: int):
     if static.object_reset_type == "default":
         pos = jnp.broadcast_to(
             jnp.stack([jnp.zeros(()), jnp.zeros(()), params.object_min_height]), (n, 3)
         )
         quat = sampling.default_orientation(n)
     elif static.object_reset_type in ("random", "none"):
-        k_xy, k_yaw = jax.random.split(key)
-        x, y = sampling.random_xy(k_xy, n, params.max_com_distance)
+        x, y = sampling.random_xy_from_uniform(u[:, 18:20], params.max_com_distance)
         z = jnp.broadcast_to(params.object_size_z / 2, (n,))
         pos = jnp.stack([x, y, z], axis=-1)
-        quat = sampling.random_yaw_orientation(k_yaw, n)
+        quat = sampling.random_yaw_orientation_from_uniform(u[:, 20])
     else:
         raise ValueError(
             f"Invalid object reset distribution: {static.object_reset_type!r}"
@@ -361,16 +383,19 @@ def _sample_object_state(static: EnvStatic, params: EnvParams, key: jax.Array, n
     return jnp.concatenate([pos, quat, jnp.zeros((n, 6))], axis=-1)
 
 
-def _sample_goal_poses(static: EnvStatic, params: EnvParams, key: jax.Array, n: int):
+def _sample_goal_poses(static: EnvStatic, params: EnvParams,
+                       u: jax.Array, norm, n: int):
     """Per-difficulty goal sampling (reference trifinger_env.py:1194-1265)."""
-    k_xy, k_z, k_ori, k_av = jax.random.split(key, 4)
     d = static.task_difficulty
+    u_xy = u[:, 21:23]
+    u_z = u[:, 23]
+    u_yaw = u[:, 24]
     if d == -1:
-        x, y = sampling.random_xy(k_xy, n, params.max_com_distance)
+        x, y = sampling.random_xy_from_uniform(u_xy, params.max_com_distance)
         z = jnp.broadcast_to(params.object_size_z / 2, (n,))
-        ori = sampling.random_yaw_orientation(k_ori, n)
+        ori = sampling.random_yaw_orientation_from_uniform(u_yaw)
     elif d == 1:
-        x, y = sampling.random_xy(k_xy, n, params.max_com_distance)
+        x, y = sampling.random_xy_from_uniform(u_xy, params.max_com_distance)
         z = jnp.broadcast_to(params.object_size_z / 2, (n,))
         ori = sampling.default_orientation(n)
     elif d == 2:
@@ -379,23 +404,29 @@ def _sample_goal_poses(static: EnvStatic, params: EnvParams, key: jax.Array, n: 
         z = jnp.broadcast_to(params.object_min_height + 0.05, (n,))
         ori = sampling.default_orientation(n)
     elif d == 3:
-        x, y = sampling.random_xy(k_xy, n, params.max_com_distance)
-        z = sampling.random_z(k_z, n, params.object_min_height, params.object_max_height)
+        x, y = sampling.random_xy_from_uniform(u_xy, params.max_com_distance)
+        z = sampling.random_z_from_uniform(
+            u_z, params.object_min_height, params.object_max_height
+        )
         ori = sampling.default_orientation(n)
     elif d in (4, 5):
-        x, y = sampling.random_xy(k_xy, n, params.max_com_distance)
-        z = sampling.random_z(k_z, n, params.object_radius_3d, params.object_max_height)
-        ori = sampling.random_orientation(k_ori, n)
+        x, y = sampling.random_xy_from_uniform(u_xy, params.max_com_distance)
+        z = sampling.random_z_from_uniform(
+            u_z, params.object_radius_3d, params.object_max_height
+        )
+        ori = sampling.random_orientation_from_normal(norm[:, 0:4])
     elif d == 6:
         x = jnp.zeros(n)
         y = jnp.zeros(n)
         z = jnp.broadcast_to(params.object_min_height + 0.05, (n,))
-        ori = sampling.random_orientation(k_ori, n)
+        ori = sampling.random_orientation_from_normal(norm[:, 0:4])
     else:
         raise ValueError(f"Invalid difficulty index for task: {d}.")
     pose = jnp.concatenate([jnp.stack([x, y, z], axis=-1), ori], axis=-1)
     if static.goal_rotation_active:
-        angvel = sampling.random_angular_vel(k_av, n, static.goal_rate_magnitude)
+        angvel = sampling.random_angular_vel_from_normal(
+            norm[:, 4:8], static.goal_rate_magnitude
+        )
     else:
         angvel = jnp.zeros((n, 3))
     return pose, angvel
@@ -554,10 +585,12 @@ def _masked_full_reset(
 ) -> EnvState:
     """Functionally apply a full reset to envs selected by ``mask`` (N,)."""
     n = static.num_envs
-    k_robot, k_obj, k_goal, k_dr = jax.random.split(key, 4)
-    q_s, qd_s = _sample_robot_state(static, params, k_robot, n)
-    obj_s = _sample_object_state(static, params, k_obj, n)
-    goal_s, angvel_s = _sample_goal_poses(static, params, k_goal, n)
+    if static.dr_activate:
+        key, k_dr = jax.random.split(key)
+    u, norm = _draw_reset_randoms(static, key, n)
+    q_s, qd_s = _sample_robot_state(static, params, u, n)
+    obj_s = _sample_object_state(static, params, u, n)
+    goal_s, angvel_s = _sample_goal_poses(static, params, u, norm, n)
 
     m1 = mask[:, None]
     physics = state.physics
@@ -609,7 +642,8 @@ def _masked_goal_reset(
     mask: jax.Array, key: jax.Array,
 ) -> EnvState:
     n = static.num_envs
-    goal_s, angvel_s = _sample_goal_poses(static, params, key, n)
+    u, norm = _draw_reset_randoms(static, key, n)
+    goal_s, angvel_s = _sample_goal_poses(static, params, u, norm, n)
     m1 = mask[:, None]
     return state.replace(
         goal_pose=jnp.where(m1, goal_s, state.goal_pose),

@@ -55,3 +55,39 @@ def random_yaw_orientation(key: jax.Array, num: int) -> jax.Array:
     zeros = jnp.zeros(num)
     yaw = 2.0 * jnp.pi * jax.random.uniform(key, (num,))
     return quaternion_from_euler_xyz(zeros, zeros, yaw)
+
+
+# ---------------------------------------------------------------------------
+# From-bits variants: identical distributions driven by pre-drawn uniform /
+# normal columns. The env step draws ONE uniform block and ONE normal block
+# per step and slices them here — a single pair of threefry invocations
+# instead of ~18 (counting key splits), which measurably matters when the
+# whole env step is ~100 us on a TPU chip.
+# ---------------------------------------------------------------------------
+
+
+def random_xy_from_uniform(u2: jax.Array, max_com_distance_to_center):
+    """u2: (num, 2) uniforms -> uniform positions in the disc."""
+    radius = jnp.sqrt(u2[:, 0]) * max_com_distance_to_center
+    theta = 2.0 * jnp.pi * u2[:, 1]
+    return radius * jnp.cos(theta), radius * jnp.sin(theta)
+
+
+def random_z_from_uniform(u1: jax.Array, min_height, max_height) -> jax.Array:
+    return (max_height - min_height) * u1 + min_height
+
+
+def random_yaw_orientation_from_uniform(u1: jax.Array) -> jax.Array:
+    zeros = jnp.zeros_like(u1)
+    return quaternion_from_euler_xyz(zeros, zeros, 2.0 * jnp.pi * u1)
+
+
+def random_orientation_from_normal(n4: jax.Array) -> jax.Array:
+    norm = jnp.linalg.norm(n4, axis=-1, keepdims=True)
+    return n4 / jnp.maximum(norm, 1e-12)
+
+
+def random_angular_vel_from_normal(n4: jax.Array, magnitude_stdev) -> jax.Array:
+    axis = n4[:, 0:3]
+    axis = axis / jnp.linalg.norm(axis, axis=-1, keepdims=True)
+    return axis * (n4[:, 3:4] * magnitude_stdev)
