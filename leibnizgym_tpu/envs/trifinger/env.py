@@ -181,9 +181,9 @@ def build_static(config: dict) -> EnvStatic:
     term = config["termination_conditions"]["success"]
     sim = config["sim"]
     engine = str(config.get("engine", "soa"))
-    if engine not in ("soa", "reference"):
+    if engine not in ("soa", "pallas", "reference"):
         raise ValueError(
-            f"Invalid engine: {engine!r} not in ['soa', 'reference']."
+            f"Invalid engine: {engine!r} not in ['soa', 'pallas', 'reference']."
         )
     specs = build_reward_specs(config["reward_terms"])
     solver = SolverConfig(
@@ -476,9 +476,14 @@ _batched_physics_step_v2 = jax.vmap(physics_step_v2, in_axes=(0, 0, 0, None, Non
 
 def _simulate(static: EnvStatic, physics: PhysicsState, tau: jax.Array,
               scene: SceneParams, n_calls: int):
-    step = (
-        _batched_physics_step_v2 if static.engine == "soa" else _batched_physics_step
-    )
+    if static.engine == "pallas":
+        from leibnizgym_tpu.ops.pallas_engine import physics_step_pallas
+
+        step = lambda ph, t, sc, cfg, dt: physics_step_pallas(ph, t, sc, cfg, dt)  # noqa: E731
+    elif static.engine == "soa":
+        step = _batched_physics_step_v2
+    else:
+        step = _batched_physics_step
     wrench = jnp.zeros((tau.shape[0], 3, 6))
     for _ in range(n_calls):
         physics, wrench = step(physics, tau, scene, static.solver, static.dt)

@@ -268,9 +268,12 @@ def _contact_target_s(depth, v_n0, restitution, bounce_threshold, h, cfg):
     return jnp.maximum(bias, rest)
 
 
-def _substep_scalar(state: PhysicsState, tau: jax.Array, params: SceneParams,
-                    cfg: SolverConfig, h: float):
-    """One substep, scalar-component formulation. Unbatched; vmap over envs."""
+def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
+    """One substep on scalar components. ``state``/``params`` are anything
+    whose fields index like arrays (PhysicsState/SceneParams, or namespaces
+    of component tuples inside a Pallas kernel). Returns raw component
+    tuples: (q(9), qd(9), pos(3), quat(4), v(3), w(3), tip_imp[3 of vec3],
+    tip_timp[3 of vec3])."""
     g = (params.gravity[0], params.gravity[1], params.gravity[2])
     lms = tuple(params.link_masses[i] / _BASE_MASSES[i] for i in range(3))
     jd = (params.joint_damping[0], params.joint_damping[1], params.joint_damping[2])
@@ -572,16 +575,27 @@ def _substep_scalar(state: PhysicsState, tau: jax.Array, params: SceneParams,
     w = v3_scale(w, w_scale)
 
     new_quat = quat_integrate4(quat, w, h)
-    new_state = PhysicsState(
-        q=jnp.stack(q_new),
-        qd=jnp.stack(qd_out),
-        cube_pos=jnp.stack([pos[i] + h * v[i] for i in range(3)]),
-        cube_quat=jnp.stack(list(new_quat)),
-        cube_linvel=jnp.stack(list(v)),
-        cube_angvel=jnp.stack(list(w)),
+    new_pos = tuple(pos[i] + h * v[i] for i in range(3))
+    return (tuple(q_new), tuple(qd_out), new_pos, new_quat, tuple(v), tuple(w),
+            tip_imp, tip_timp)
+
+
+def _substep_scalar(state: PhysicsState, tau: jax.Array, params: SceneParams,
+                    cfg: SolverConfig, h: float):
+    """One substep, PhysicsState in/out. Unbatched; vmap over envs."""
+    q, qd, pos, quat, v, w, tip_imp, tip_timp = _substep_fields(
+        state, tau, params, cfg, h
     )
-    tip_impulse = jnp.stack([jnp.stack(list(t)) for t in tip_imp])
-    tip_torque_impulse = jnp.stack([jnp.stack(list(t)) for t in tip_timp])
+    new_state = PhysicsState(
+        q=jnp.stack(q),
+        qd=jnp.stack(qd),
+        cube_pos=jnp.stack(pos),
+        cube_quat=jnp.stack(quat),
+        cube_linvel=jnp.stack(v),
+        cube_angvel=jnp.stack(w),
+    )
+    tip_impulse = jnp.stack([jnp.stack(t) for t in tip_imp])
+    tip_torque_impulse = jnp.stack([jnp.stack(t) for t in tip_timp])
     return new_state, tip_impulse, tip_torque_impulse
 
 

@@ -1,0 +1,217 @@
+"""Pallas TPU mega-kernel for the physics substep loop.
+
+One `pallas_call` advances a TILE of envs through ALL substeps of a control
+step: state loads from HBM to VMEM once, every substep's ~8k scalar ops run
+on (TILE,)-shaped registers (TILE=1024 = one native 8x128 vector register
+per quantity), and results store once. This removes the per-substep HBM
+round-trips and kernel-launch boundaries the XLA-fused engine still pays.
+
+The physics itself is the SAME code as engine_v2 (`_substep_fields`) — the
+scalar-component formulation is Pallas-ready by construction: inside the
+kernel, state/params fields are tuples of (TILE,) vectors and the core
+function never notices. Numerical equivalence is enforced by tests.
+
+Data layout: component-major (C, N) f32 arrays
+  state  (31, N): q(9) | qd(9) | cube_pos(3) | cube_quat(4) | v(3) | w(3)
+  params (32, N): see _PARAM_FIELDS
+  tau    (9, N); outputs: state' (31, N), tip wrench impulses (18, N)
+"""
+
+from __future__ import annotations
+
+import functools
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from leibnizgym_tpu.ops.engine_v2 import _substep_fields
+from leibnizgym_tpu.ops.types import PhysicsState, SceneParams, SolverConfig
+
+TILE = 1024
+STATE_ROWS = 31
+WRENCH_ROWS = 18
+
+# (field name, length) in packing order; every entry is per-env batched
+_PARAM_FIELDS = (
+    ("gravity", 3),
+    ("link_masses", 3),
+    ("joint_damping", 3),
+    ("armature", 3),
+    ("velocity_limit", 1),
+    ("cube_mass", 1),
+    ("cube_half_extents", 3),
+    ("cube_inertia", 3),
+    ("cube_linear_damping", 1),
+    ("cube_angular_damping", 1),
+    ("mu_tip_cube", 1),
+    ("mu_cube_ground", 1),
+    ("mu_cube_wall", 1),
+    ("mu_tip_ground", 1),
+    ("restitution_tip_cube", 1),
+    ("restitution_cube_ground", 1),
+    ("restitution_tip_ground", 1),
+    ("tip_radius", 1),
+    ("bounce_threshold", 1),
+    ("wall_radius", 1),
+)
+PARAM_ROWS = sum(k for _, k in _PARAM_FIELDS)
+
+
+def pack_state(ps: PhysicsState) -> jax.Array:
+    """(N,)-batched PhysicsState -> (31, N)."""
+    return jnp.concatenate(
+        [ps.q.T, ps.qd.T, ps.cube_pos.T, ps.cube_quat.T,
+         ps.cube_linvel.T, ps.cube_angvel.T], axis=0
+    )
+
+
+def unpack_state(arr: jax.Array) -> PhysicsState:
+    return PhysicsState(
+        q=arr[0:9].T, qd=arr[9:18].T, cube_pos=arr[18:21].T,
+        cube_quat=arr[21:25].T, cube_linvel=arr[25:28].T, cube_angvel=arr[28:31].T,
+    )
+
+
+def pack_params(sp: SceneParams, n: int) -> jax.Array:
+    """(N,)-batched (or broadcastable) SceneParams -> (PARAM_ROWS, N)."""
+    rows = []
+    for name, k in _PARAM_FIELDS:
+        leaf = jnp.asarray(getattr(sp, name))
+        if k == 1:
+            # scalar field: () unbatched or (n,) batched
+            rows.append(jnp.broadcast_to(leaf, (n,))[None, :])
+        else:
+            # vector field: (k,) unbatched or (n, k) batched
+            if leaf.ndim == 1:
+                leaf = jnp.broadcast_to(leaf, (n, k))
+            rows.append(leaf.T)
+    return jnp.concatenate(rows, axis=0)
+
+
+def _kernel(cfg: SolverConfig, h: float, state_ref, params_ref, tau_ref,
+            out_ref, wrench_ref):
+    # unpack rows into component tuples of (TILE,) vectors
+    rows = [state_ref[i, :] for i in range(STATE_ROWS)]
+    state = SimpleNamespace(
+        q=tuple(rows[0:9]),
+        qd=tuple(rows[9:18]),
+        cube_pos=tuple(rows[18:21]),
+        cube_quat=tuple(rows[21:25]),
+        cube_linvel=tuple(rows[25:28]),
+        cube_angvel=tuple(rows[28:31]),
+    )
+    tau = tuple(tau_ref[i, :] for i in range(9))
+    p_rows = [params_ref[i, :] for i in range(PARAM_ROWS)]
+    fields = {}
+    off = 0
+    for name, k in _PARAM_FIELDS:
+        fields[name] = tuple(p_rows[off:off + k]) if k > 1 else p_rows[off]
+        off += k
+    params = SimpleNamespace(**fields)
+
+    zero = jnp.zeros_like(rows[0])
+    carry0 = (
+        state.q + state.qd + state.cube_pos + state.cube_quat
+        + state.cube_linvel + state.cube_angvel
+        + tuple(zero for _ in range(WRENCH_ROWS))
+    )
+
+    def body(_, carry):
+        s = SimpleNamespace(
+            q=carry[0:9], qd=carry[9:18], cube_pos=carry[18:21],
+            cube_quat=carry[21:25], cube_linvel=carry[25:28],
+            cube_angvel=carry[28:31],
+        )
+        acc = carry[31:31 + WRENCH_ROWS]
+        q, qd, pos, quat, v, w, tip_imp, tip_timp = _substep_fields(
+            s, tau, params, cfg, h
+        )
+        imp_flat = tuple(tip_imp[f][i] for f in range(3) for i in range(3))
+        timp_flat = tuple(tip_timp[f][i] for f in range(3) for i in range(3))
+        new_acc = tuple(
+            acc[j] + (imp_flat + timp_flat)[j] for j in range(WRENCH_ROWS)
+        )
+        return q + qd + pos + quat + v + w + new_acc
+
+    carry = jax.lax.fori_loop(0, cfg.substeps, body, carry0)
+    for i in range(STATE_ROWS):
+        out_ref[i, :] = carry[i]
+    for j in range(WRENCH_ROWS):
+        wrench_ref[j, :] = carry[STATE_ROWS + j]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "dt", "interpret")
+)
+def physics_step_pallas(
+    state: PhysicsState,
+    tau: jax.Array,
+    params: SceneParams,
+    cfg: SolverConfig,
+    dt: float = 0.02,
+    interpret: bool = False,
+):
+    """Drop-in batched replacement for vmap(physics_step_v2).
+
+    Args: state (N,)-batched, tau (N, 9), params batched or broadcastable.
+    Returns (new_state, tip_wrench (N, 3, 6)).
+    """
+    n = state.q.shape[0]
+    pad = (-n) % TILE
+    np_ = n + pad
+
+    packed = pack_state(state)
+    tau_t = tau.T
+    pparams = pack_params(params, n)
+    if pad:
+        packed = jnp.pad(packed, ((0, 0), (0, pad)))
+        tau_t = jnp.pad(tau_t, ((0, 0), (0, pad)))
+        # pad params with the LAST env's values (avoids zero mass/inertia nans)
+        pparams = jnp.concatenate(
+            [pparams, jnp.repeat(pparams[:, -1:], pad, axis=1)], axis=1
+        )
+        # quat must stay unit in the padding
+        packed = packed.at[24, n:].set(1.0)
+
+    h = dt / cfg.substeps
+    grid = (np_ // TILE,)
+    kernel = functools.partial(_kernel, cfg, h)
+    out, wrench = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((STATE_ROWS, np_), jnp.float32),
+            jax.ShapeDtypeStruct((WRENCH_ROWS, np_), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((STATE_ROWS, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PARAM_ROWS, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((STATE_ROWS, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((WRENCH_ROWS, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(packed, pparams, tau_t)
+
+    if pad:
+        out = out[:, :n]
+        wrench = wrench[:, :n]
+    new_state = unpack_state(out)
+    tip_wrench = jnp.stack(
+        [
+            jnp.stack([wrench[3 * f + i] for i in range(3)]
+                      + [wrench[9 + 3 * f + i] for i in range(3)], axis=-1)
+            for f in range(3)
+        ],
+        axis=1,
+    ) / dt
+    return new_state, tip_wrench

@@ -324,3 +324,37 @@ def gravity_hold_torque():
     q = jnp.asarray(tf_model.JOINT_POS_DEFAULT)
     tau3 = jax.grad(lambda qq: D.potential_energy(qq, GRAV))(q)
     return jnp.tile(tau3, 3)
+
+
+class TestPallasEngine:
+    """Pallas mega-kernel must match the SoA engine (interpret mode on CPU)."""
+
+    def test_matches_engine_v2(self):
+        from leibnizgym_tpu.ops.engine_v2 import physics_step_v2
+        from leibnizgym_tpu.ops.pallas_engine import physics_step_pallas
+
+        cfg = SolverConfig(substeps=2, solver_iterations=4)
+        n = 8  # exercises the padding path (8 -> TILE)
+        rng = np.random.default_rng(1)
+        state = PhysicsState.default((n,)).replace(
+            q=jnp.asarray((np.tile(tf_model.JOINT_POS_DEFAULT, 3)
+                           + rng.uniform(-0.3, 0.3, (n, 9))).astype(np.float32)),
+            qd=jnp.asarray(rng.uniform(-2, 2, (n, 9)).astype(np.float32)),
+            cube_pos=jnp.asarray(np.stack(
+                [rng.uniform(-0.1, 0.1, n), rng.uniform(-0.1, 0.1, n),
+                 rng.uniform(0.03, 0.08, n)], -1).astype(np.float32)),
+            cube_linvel=jnp.asarray(rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)),
+            cube_angvel=jnp.asarray(rng.uniform(-2, 2, (n, 3)).astype(np.float32)),
+        )
+        scene = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n,) + jnp.shape(x)), SceneParams.default()
+        )
+        tau = jnp.asarray(rng.uniform(-0.36, 0.36, (n, 9)).astype(np.float32))
+        ref = jax.vmap(physics_step_v2, in_axes=(0, 0, 0, None, None))(
+            state, tau, scene, cfg, 0.02)
+        pal = physics_step_pallas(state, tau, scene, cfg, 0.02, interpret=True)
+        for name in ["q", "qd", "cube_pos", "cube_quat", "cube_linvel",
+                     "cube_angvel"]:
+            err = float(jnp.abs(getattr(ref[0], name) - getattr(pal[0], name)).max())
+            assert err < 1e-5, f"{name}: {err}"
+        assert float(jnp.abs(ref[1] - pal[1]).max()) < 1e-4
