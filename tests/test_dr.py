@@ -1,0 +1,61 @@
+"""Domain randomization tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from leibnizgym_tpu.dr import sample_scene_params
+from leibnizgym_tpu.envs import TrifingerEnv
+from leibnizgym_tpu.ops.types import SceneParams
+
+
+class TestSampler:
+    def test_ranges_and_derived_inertia(self):
+        base = SceneParams.default()
+        n = 512
+        sp = sample_scene_params(jax.random.PRNGKey(0), n, base)
+        mass = np.asarray(sp.cube_mass)
+        assert mass.min() >= float(base.cube_mass) * 0.8 - 1e-6
+        assert mass.max() <= float(base.cube_mass) * 1.2 + 1e-6
+        # inertia must be consistent with randomized mass AND size
+        half = np.asarray(sp.cube_half_extents)
+        side = 2 * half
+        expected = mass[:, None] / 12.0 * np.stack(
+            [side[:, 1] ** 2 + side[:, 2] ** 2,
+             side[:, 0] ** 2 + side[:, 2] ** 2,
+             side[:, 0] ** 2 + side[:, 1] ** 2], axis=-1)
+        assert np.allclose(np.asarray(sp.cube_inertia), expected, rtol=1e-5)
+
+    def test_custom_ranges(self):
+        base = SceneParams.default()
+        sp = sample_scene_params(
+            jax.random.PRNGKey(1), 256, base,
+            ranges={"friction_scale": (0.5, 0.5)},
+        )
+        mu = np.asarray(sp.mu_tip_cube)
+        assert np.allclose(mu, float(base.mu_tip_cube) * 0.5, rtol=1e-5)
+
+
+class TestEnvIntegration:
+    def test_dr_env_runs_and_varies(self):
+        env = TrifingerEnv(
+            config={"num_instances": 32, "command_mode": "torque",
+                    "domain_randomization": {"activate": True},
+                    "sim": {"substeps": 2}},
+            verbose=False,
+        )
+        env.reset()
+        masses = np.asarray(env.state.scene.cube_mass)
+        assert masses.std() > 1e-4, "DR should vary cube mass across envs"
+        obs, rew, dones, info = env.step(jnp.zeros((32, 9)))
+        assert bool(jnp.isfinite(obs).all())
+
+    def test_dr_off_uniform_scene(self):
+        env = TrifingerEnv(
+            config={"num_instances": 8, "command_mode": "torque",
+                    "sim": {"substeps": 2}},
+            verbose=False,
+        )
+        env.reset()
+        masses = np.asarray(env.state.scene.cube_mass)
+        assert masses.std() == 0.0

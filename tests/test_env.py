@@ -159,6 +159,39 @@ class TestCommandModes:
         assert bool(jnp.isfinite(obs).all())
 
 
+class TestSuccessTermination:
+    def test_goal_reset_on_success(self):
+        """Forcing the cube onto the goal must grant the bonus, set
+        goal_reset, bump successes, and resample ONLY the goal next step."""
+        e = TrifingerEnv(
+            config={"num_instances": 4, "command_mode": "torque",
+                    "task_difficulty": 1,
+                    "termination_conditions": {"success": {"activate": True}},
+                    "sim": {"substeps": 2}},
+            verbose=False,
+        )
+        e.reset()
+        # teleport cube 0 onto its goal
+        st = e.state
+        new_pos = st.physics.cube_pos.at[0].set(st.goal_pose[0, 0:3])
+        e._state = st.replace(physics=st.physics.replace(
+            cube_pos=new_pos, cube_linvel=jnp.zeros_like(st.physics.cube_linvel)))
+        obs, rew, dones, info = e.step(jnp.zeros((4, 9)))
+        st = e.state
+        # physics may drift slightly within one step; must stay in tolerance
+        assert bool(st.goal_reset_buf[0]), "success should set goal_reset"
+        assert float(rew[0]) > 4000, "success bonus missing"
+        assert int(st.successes[0]) == 1
+        goal_before = np.asarray(st.goal_pose[0])
+        steps_before = int(st.steps_count[0])
+        obs, rew, dones, info = e.step(jnp.zeros((4, 9)))
+        st = e.state
+        assert not np.allclose(np.asarray(st.goal_pose[0]), goal_before), \
+            "goal should resample after success"
+        assert int(st.steps_count[0]) == steps_before + 1, \
+            "episode must continue (goal-only reset)"
+
+
 class TestFrameCounter:
     def test_env_steps_count_no_int32_overflow(self):
         """frames * num_envs must not wrap past 2^31 (it silently disables
