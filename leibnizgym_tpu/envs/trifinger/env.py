@@ -315,7 +315,7 @@ def build_params(static: EnvStatic, object_dims: CuboidalObject) -> EnvParams:
         object_max_height=jnp.asarray(object_dims.max_height),
         object_radius_3d=jnp.asarray(object_dims.radius_3d),
         object_size_z=jnp.asarray(object_dims.size[2]),
-        scene_base=SceneParams.default(),
+        scene_base=SceneParams.default(object_size=object_dims.size),
     )
 
 
@@ -863,7 +863,13 @@ class TrifingerEnv(EnvBase):
         if merged["asymmetric_obs"]:
             merged["enable_ft_sensors"] = True
 
-        self._object_dims = CuboidalObject(0.065)
+        # configurable object dimensions (realizes the reference TODO at
+        # trifinger_env.py:139-143; scalar = cube, [x, y, z] = cuboid)
+        object_size = merged.get("object_size", 0.065)
+        self._object_dims = CuboidalObject(
+            float(object_size) if np.isscalar(object_size)
+            else tuple(float(s) for s in object_size)
+        )
         self.static = build_static(merged)
         self.params = build_params(self.static, self._object_dims)
 

@@ -88,7 +88,18 @@ class SceneParams:
     wall_radius: jax.Array  # ()
 
     @classmethod
-    def default(cls) -> "SceneParams":
+    def default(cls, object_size=None, object_density: float | None = None) -> "SceneParams":
+        """Defaults for the RRC cube; ``object_size`` (scalar or (3,)) and
+        ``object_density`` support cuboid variants (the reference's phase-3
+        cuboid and its open TODO 'Make object dimensions configurable',
+        trifinger_env.py:139-143)."""
+        size = np.asarray(
+            tf_model.CUBE_SIZE if object_size is None else object_size, np.float64
+        )
+        size = np.broadcast_to(size, (3,))
+        density = tf_model.CUBE_DENSITY if object_density is None else object_density
+        mass = float(density * size[0] * size[1] * size[2])
+
         def combine(a, b):
             # PhysX default pair combine mode: average
             return 0.5 * (a + b)
@@ -100,11 +111,9 @@ class SceneParams:
             armature=jnp.zeros(3),
             torque_limit=jnp.asarray(tf_model.MAX_TORQUE_NM),
             velocity_limit=jnp.asarray(tf_model.MAX_VELOCITY_RADPS),
-            cube_mass=jnp.asarray(tf_model.CUBE_MASS),
-            cube_half_extents=jnp.full(3, tf_model.CUBE_SIZE / 2),
-            cube_inertia=jnp.asarray(
-                tf_model.cube_inertia_diag(tf_model.CUBE_MASS, tf_model.CUBE_SIZE)
-            ),
+            cube_mass=jnp.asarray(mass),
+            cube_half_extents=jnp.asarray(size / 2),
+            cube_inertia=jnp.asarray(tf_model.cube_inertia_diag(mass, size)),
             cube_linear_damping=jnp.asarray(tf_model.CUBE_LINEAR_DAMPING),
             cube_angular_damping=jnp.asarray(tf_model.CUBE_ANGULAR_DAMPING),
             mu_tip_cube=jnp.asarray(

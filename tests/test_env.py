@@ -159,6 +159,26 @@ class TestCommandModes:
         assert bool(jnp.isfinite(obs).all())
 
 
+class TestConfigurableObject:
+    def test_cuboid_object(self):
+        """Phase-3-style cuboid: derived mass/inertia and rest height."""
+        e = TrifingerEnv(
+            config={"num_instances": 4, "command_mode": "torque",
+                    "object_size": [0.065, 0.065, 0.02],
+                    "sim": {"substeps": 2}},
+            verbose=False,
+        )
+        e.reset()
+        he = np.asarray(e.state.scene.cube_half_extents[0])
+        assert np.allclose(he, [0.0325, 0.0325, 0.01], atol=1e-6)
+        assert abs(float(e.state.scene.cube_mass[0]) - 291.3 * 0.065 * 0.065 * 0.02) < 1e-5
+        for _ in range(40):
+            obs, *_ = e.step(jnp.zeros((4, 9)))
+        z = np.asarray(e.state.physics.cube_pos[:, 2])
+        assert np.all(z < 0.02), "cuboid should rest near half-height"
+        assert bool(jnp.isfinite(obs).all())
+
+
 class TestSuccessTermination:
     def test_goal_reset_on_success(self):
         """Forcing the cube onto the goal must grant the bonus, set
