@@ -117,11 +117,36 @@ _D4_EXTRA = {
     },
 }
 
+# TPU-build extension: difficulty 4 with the keypoint reward replacing the
+# separate pos/rot terms (the literature's fix for 6-DoF reposing; the
+# reference's own D4 preset is annotated as experimental)
+_D4_KP_EXTRA = {
+    "reward_terms": {
+        "finger_move_penalty": {"activate": True, "weight": -0.1},
+        "finger_reach_object_rate": {
+            "activate": True, "norm_p": 2, "weight": -250,
+            "thresh_sched_start": 0, "thresh_sched_end": 5e7,
+        },
+        "object_dist": {"activate": False, "weight": 2000},
+        "object_rot": {"activate": False, "weight": 2000},
+        "object_rot_delta": {"activate": False, "weight": -250},
+        "object_move": {"activate": False, "weight": -750},
+        "keypoint_dist": {"activate": True, "weight": 2000, "scale": 30.0},
+    },
+    "termination_conditions": {
+        "success": {
+            "activate": False, "bonus": 5000.0,
+            "orientation_tolerance": 0.25, "position_tolerance": 0.02,
+        }
+    },
+}
+
 GYM_PRESETS: Dict[str, Dict[str, Any]] = {
     "trifinger_difficulty_1": _difficulty(1),
     "trifinger_difficulty_2": _difficulty(2),
     "trifinger_difficulty_3": _difficulty(3),
     "trifinger_difficulty_4": _difficulty(4, _D4_EXTRA),
+    "trifinger_difficulty_4_keypoints": _difficulty(4, _D4_KP_EXTRA),
 }
 
 # ---------------------------------------------------------------------------

@@ -66,6 +66,12 @@ TRIFINGER_DEFAULT_CONFIG_DICT = {
             "activate": True,
             "weight": -750,
         },
+        # TPU-build extension: cube-corner keypoint reward (pos+ori jointly)
+        "keypoint_dist": {
+            "activate": False,
+            "weight": 2000,
+            "scale": 30.0,
+        },
     },
     "termination_conditions": {
         "success": {

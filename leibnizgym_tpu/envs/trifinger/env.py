@@ -738,6 +738,7 @@ def env_step(static: EnvStatic, params: EnvParams, state: EnvState,
         object_hist[:, 0],
         object_hist[:, 1],
         goal_pose,
+        half_extents=state.scene.cube_half_extents,
     )
     for name, value in term_values.items():
         info[f"env/rewards/{name}"] = jnp.mean(value)

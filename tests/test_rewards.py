@@ -121,3 +121,36 @@ def test_compute_rewards_sums_active_only():
     )
     assert set(terms) == {"finger_reach_object_rate", "finger_move_penalty", "object_dist"}
     assert np.allclose(np.asarray(total), sum(np.asarray(v) for v in terms.values()))
+
+
+class TestKeypointDist:
+    def test_zero_at_goal_max_elsewhere(self):
+        import jax.numpy as jnp
+
+        sp = spec("keypoint_dist", weight=2000, scale=30.0)
+        half = jnp.full((1, 3), 0.0325)
+        # object exactly at goal pose: all 8 corner distances 0 -> lgsk peak 0.25
+        r_at = rw.keypoint_dist(sp, 0.02, jnp.array(0.0),
+                                obj_state([0.1, 0, 0.0325]),
+                                goal([0.1, 0, 0.0325]), half)
+        assert abs(float(r_at[0]) - 2000 * 0.02 * 0.25) < 1e-4
+        # rotated 180deg about z at same position: corners swap -> nonzero dists
+        from scipy.spatial.transform import Rotation as R
+
+        q = R.from_rotvec([0, 0, np.pi]).as_quat()
+        r_rot = rw.keypoint_dist(sp, 0.02, jnp.array(0.0),
+                                 obj_state([0.1, 0, 0.0325], q),
+                                 goal([0.1, 0, 0.0325]), half)
+        assert float(r_rot[0]) < float(r_at[0]) * 0.5, \
+            "rotation misalignment must reduce the keypoint reward"
+
+    def test_missing_config_key_inactive(self):
+        specs = rw.build_reward_specs({
+            "finger_reach_object_rate": {"activate": True, "weight": -750},
+            "finger_move_penalty": {"activate": True, "weight": -0.1},
+            "object_dist": {"activate": True, "weight": 2000},
+            "object_rot": {"activate": False},
+            "object_rot_delta": {"activate": False},
+            "object_move": {"activate": False},
+        })
+        assert specs["keypoint_dist"].activate is False
