@@ -53,14 +53,15 @@ def main():
         return state, key
 
     key = jax.random.PRNGKey(1)
-    # warmup/compile
+    # warmup/compile; the scalar device_get forces full materialization
+    # (block_until_ready alone can return early on remote-tunnel backends)
     state, key = rollout_chunk(state, key)
-    jax.block_until_ready(state.physics.q)
+    _ = float(state.physics.q[0, 0])
 
     t0 = time.perf_counter()
     for _ in range(MEASURE_ROUNDS):
         state, key = rollout_chunk(state, key)
-    jax.block_until_ready(state.physics.q)
+    _ = float(state.physics.q[0, 0])
     elapsed = time.perf_counter() - t0
 
     total_env_steps = NUM_ENVS * STEPS_PER_ROUND * MEASURE_ROUNDS
