@@ -1,0 +1,54 @@
+"""Golden-trajectory regression test.
+
+A fixed-seed 16-env, 50-step random-action rollout of difficulty 1 is stored
+at tests/golden/traj_d1_seed0.npz (created with scripts/trajectory_parity.py
+on CPU). Any physics/env change that shifts trajectories beyond float noise
+fails here — the in-repo stand-in for BASELINE.md's fixed-seed parity config.
+
+To intentionally re-baseline after a behavior-changing fix:
+    JAX_PLATFORMS=cpu python scripts/trajectory_parity.py dump \
+        --num-envs 16 --steps 50 --out tests/golden/traj_d1_seed0.npz
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from leibnizgym_tpu.envs import TrifingerEnv
+
+_GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "traj_d1_seed0.npz")
+
+
+def test_trajectory_matches_golden():
+    data = np.load(_GOLDEN, allow_pickle=True)
+    meta = json.loads(str(data["meta"]))
+    env = TrifingerEnv(
+        config={
+            "num_instances": meta["num_envs"],
+            "task_difficulty": meta["difficulty"],
+            "command_mode": "torque",
+            "seed": meta["seed"],
+            "engine": meta["engine"],
+            "sim": {"substeps": meta["substeps"],
+                    "physx": {"num_position_iterations": meta["iterations"]}},
+        },
+        verbose=False,
+    )
+    obs = env.reset()
+    key = jax.random.PRNGKey(meta["action_seed"])
+    for t in range(meta["steps"]):
+        key, k = jax.random.split(key)
+        action = jax.random.uniform(
+            k, (meta["num_envs"], 9), minval=-1.0, maxval=1.0
+        )
+        obs, reward, dones, info = env.step(action)
+        st = env.state.physics
+        assert np.allclose(np.asarray(action), data["action"][t], atol=1e-6), \
+            f"action stream diverged at step {t} (RNG change?)"
+        for name, arr in (("q", st.q), ("cube_pos", st.cube_pos),
+                          ("cube_quat", st.cube_quat), ("reward", reward)):
+            err = np.abs(np.asarray(arr) - data[name][t]).max()
+            assert err < 2e-4, f"{name} diverged at step {t}: {err:.2e}"
