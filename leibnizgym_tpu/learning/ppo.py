@@ -68,6 +68,8 @@ class PPOConfig:
     max_epochs: int = 100000
     save_best_after: int = 500
     save_frequency: int = 100
+    score_to_win: float = 1e6
+    games_to_track: int = 100
     # asymmetric central value
     central_value: bool = True
     cv_learning_rate: float = 5e-4
@@ -109,6 +111,8 @@ class PPOConfig:
             max_epochs=int(c.get("max_epochs", 100000)),
             save_best_after=int(c.get("save_best_after", 500)),
             save_frequency=int(c.get("save_frequency", 100)),
+            score_to_win=float(c.get("score_to_win", 1e6)),
+            games_to_track=int(c.get("games_to_track", 100)),
             central_value=cv is not None,
             cv_learning_rate=float(cv["lr"]) if cv else 5e-4,
             cv_mini_epochs=int(cv.get("mini_epochs", 4)) if cv else 4,

@@ -100,7 +100,7 @@ class Runner:
         print_notify(f"Saving logs at: {self.logdir}")
 
         self._train_iter = jax.jit(train_iteration, static_argnums=(0, 1))
-        self.game_rewards = AverageMeter(100)
+        self.game_rewards = AverageMeter(self.ppo_cfg.games_to_track)
         self.ts: Optional[PPOTrainState] = None
 
     # ------------------------------------------------------------------ setup
@@ -245,6 +245,13 @@ class Runner:
                 self.save("best")
             if cfg.save_frequency and epoch % cfg.save_frequency == 0:
                 self.save("last")
+            if (self.game_rewards.current_size > 0
+                    and self.game_rewards.get_mean() >= cfg.score_to_win):
+                print_notify(
+                    f"score_to_win reached ({self.game_rewards.get_mean():.1f} "
+                    f">= {cfg.score_to_win}); stopping early"
+                )
+                break
         self.save("final")
         total = time.time() - t_start
         print_notify(
