@@ -64,7 +64,6 @@ from leibnizgym_tpu.utils.math import (
     unscale_transform,
 )
 
-_dims = TrifingerDimensions
 
 
 # ---------------------------------------------------------------------------
