@@ -96,7 +96,7 @@ class EnvStatic:
     control_decimation: int
     dt: float
     dr_activate: bool
-    engine: str  # "soa" (TPU-optimized scalar layout) | "reference"
+    engine: str  # "soa" (TPU scalar layout) | "pallas" (mega-kernel) | "reference"
     use_keypoint_obs: bool  # append 8 object + 8 goal cube-corner keypoints
     reward_specs: Tuple[RewardTermSpec, ...]
     solver: SolverConfig
