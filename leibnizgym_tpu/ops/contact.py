@@ -69,22 +69,6 @@ def cube_body(pos, quat, mass, inertia_diag) -> CubeBody:
     )
 
 
-def _k_cube(body: CubeBody, r: jax.Array, d: jax.Array) -> jax.Array:
-    """Effective inverse mass of the cube at arm r along direction d."""
-    rxd = jnp.cross(r, d)
-    return body.inv_mass + rxd @ body.inv_inertia_w @ rxd
-
-
-class Contact(NamedTuple):
-    """One contact slot. All per-slot scalars/vecs; stacked into groups."""
-
-    point: jax.Array  # (3,) world contact point
-    normal: jax.Array  # (3,) unit; impulse on the cube/tip acts along +normal
-    depth: jax.Array  # () penetration (>0) or -gap (<0)
-    t1: jax.Array
-    t2: jax.Array
-
-
 def closest_point_on_box(center_local: jax.Array, half: jax.Array):
     """Sphere-center vs box in box-local coords.
 
