@@ -141,12 +141,41 @@ _D4_KP_EXTRA = {
     },
 }
 
+# TPU-build extension: the 6-DoF curriculum recipe (round-1 negative results
+# showed fixed tight tolerances never fire the joint pos+ori bonus, so no
+# orientation gradient forms). Keypoint obs + keypoint reward + success bonus
+# with tolerances annealed loose -> tight over the first 2B env-steps.
+_D4_CURRICULUM_EXTRA = {
+    "use_keypoint_obs": True,
+    "reward_terms": {
+        "finger_move_penalty": {"activate": True, "weight": -0.1},
+        "finger_reach_object_rate": {
+            "activate": True, "norm_p": 2, "weight": -250,
+            "thresh_sched_start": 0, "thresh_sched_end": 5e7,
+        },
+        "object_dist": {"activate": False, "weight": 2000},
+        "object_rot": {"activate": False, "weight": 2000},
+        "object_rot_delta": {"activate": False, "weight": -250},
+        "object_move": {"activate": False, "weight": -750},
+        "keypoint_dist": {"activate": True, "weight": 2000, "scale": 30.0},
+    },
+    "termination_conditions": {
+        "success": {
+            "activate": True, "bonus": 5000.0,
+            "position_tolerance": 0.02, "orientation_tolerance": 0.25,
+            "position_tolerance_init": 0.05, "orientation_tolerance_init": 0.8,
+            "tolerance_anneal_frames": 2e9,
+        }
+    },
+}
+
 GYM_PRESETS: Dict[str, Dict[str, Any]] = {
     "trifinger_difficulty_1": _difficulty(1),
     "trifinger_difficulty_2": _difficulty(2),
     "trifinger_difficulty_3": _difficulty(3),
     "trifinger_difficulty_4": _difficulty(4, _D4_EXTRA),
     "trifinger_difficulty_4_keypoints": _difficulty(4, _D4_KP_EXTRA),
+    "trifinger_difficulty_4_curriculum": _difficulty(4, _D4_CURRICULUM_EXTRA),
 }
 
 # ---------------------------------------------------------------------------

@@ -82,4 +82,10 @@ def sample_scene_params(
         tip_radius=bc(base.tip_radius),
         bounce_threshold=bc(base.bounce_threshold),
         wall_radius=bc(base.wall_radius),
+        mu_tip_wall=base.mu_tip_wall * fric,
+        restitution_tip_wall=bc(base.restitution_tip_wall),
+        mu_link_cube=base.mu_link_cube * fric,
+        restitution_link_cube=bc(base.restitution_link_cube),
+        mu_torsion=bc(base.mu_torsion),
+        torsion_patch_radius=bc(base.torsion_patch_radius),
     )

@@ -92,10 +92,21 @@ class EnvStatic:
     termination_bonus: float
     position_tolerance: float
     orientation_tolerance: float
+    # annealed tolerances (TPU-build extension for the 6-DoF curriculum):
+    # linear ramp from *_init to the final tolerance over
+    # [0, tolerance_anneal_frames] env-steps; 0 disables annealing
+    position_tolerance_init: float
+    orientation_tolerance_init: float
+    tolerance_anneal_frames: float
     dones_mode: str
     control_decimation: int
     dt: float
     dr_activate: bool
+    # DR ranges as a hashable ((name, lo, hi), ...) tuple so the configured
+    # values (not just DR_DEFAULTS) reach sample_scene_params
+    dr_ranges: Tuple[Tuple[str, float, float], ...]
+    # PD-gain randomization range (lo, hi); scales kp and kd per env at reset
+    dr_pd_gain_scale: Tuple[float, float]
     engine: str  # "soa" (TPU scalar layout) | "pallas" (mega-kernel) | "reference"
     use_keypoint_obs: bool  # append 8 object + 8 goal cube-corner keypoints
     reward_specs: Tuple[RewardTermSpec, ...]
@@ -155,6 +166,7 @@ class EnvState:
 
     physics: PhysicsState  # (N, ...)
     scene: SceneParams  # (N, ...) per-env physics params (DR surface)
+    pd_scale: jax.Array  # (N, 2) DR scale on (pd_stiffness, pd_damping)
     goal_pose: jax.Array  # (N, 7)
     goal_angvel: jax.Array  # (N, 3)
     action_buf: jax.Array  # (N, A)
@@ -173,6 +185,22 @@ class EnvState:
 # ---------------------------------------------------------------------------
 # Builders
 # ---------------------------------------------------------------------------
+
+
+_DR_RANGE_KEYS = (
+    "cube_mass_scale", "cube_size_scale", "link_mass_scale",
+    "friction_scale", "restitution_range",
+)
+
+
+def _extract_dr_ranges(dr_config: dict) -> Tuple[Tuple[str, float, float], ...]:
+    """Configured DR ranges as a hashable tuple (jit-static)."""
+    out = []
+    for key in _DR_RANGE_KEYS:
+        if key in dr_config:
+            lo, hi = dr_config[key]
+            out.append((key, float(lo), float(hi)))
+    return tuple(out)
 
 
 def build_static(config: dict) -> EnvStatic:
@@ -209,10 +237,23 @@ def build_static(config: dict) -> EnvStatic:
         termination_bonus=float(term["bonus"]),
         position_tolerance=float(term["position_tolerance"]),
         orientation_tolerance=float(term["orientation_tolerance"]),
+        position_tolerance_init=float(
+            term.get("position_tolerance_init", term["position_tolerance"])
+        ),
+        orientation_tolerance_init=float(
+            term.get("orientation_tolerance_init", term["orientation_tolerance"])
+        ),
+        tolerance_anneal_frames=float(term.get("tolerance_anneal_frames", 0.0)),
         dones_mode=str(config.get("dones_mode", "and")),
         control_decimation=int(config["control_decimation"]),
         dt=float(sim["dt"]),
         dr_activate=bool(config.get("domain_randomization", {}).get("activate", False)),
+        dr_ranges=_extract_dr_ranges(config.get("domain_randomization", {})),
+        dr_pd_gain_scale=tuple(
+            float(x) for x in config.get("domain_randomization", {}).get(
+                "pd_gain_scale", (1.0, 1.0)
+            )
+        ),
         engine=engine,
         use_keypoint_obs=bool(config.get("use_keypoint_obs", False)),
         reward_specs=tuple(specs[name] for name in sorted(specs)),
@@ -439,6 +480,7 @@ def _sample_goal_poses(static: EnvStatic, params: EnvParams,
 def compute_torque(
     static: EnvStatic, params: EnvParams,
     action_buf: jax.Array, q: jax.Array, qd: jax.Array,
+    pd_scale: jax.Array | None = None,
 ) -> jax.Array:
     if static.normalize_action:
         action_tf = unscale_transform(
@@ -447,14 +489,22 @@ def compute_torque(
     else:
         action_tf = action_buf
 
+    if pd_scale is None:
+        kp_s = kd_s = 1.0
+    else:
+        kp_s, kd_s = pd_scale[..., 0:1], pd_scale[..., 1:2]
+
     if static.command_mode == "torque":
         computed = action_tf
     elif static.command_mode == "position":
-        computed = params.pd_stiffness * (action_tf - q) - params.pd_damping * qd
+        computed = (
+            kp_s * params.pd_stiffness * (action_tf - q)
+            - kd_s * params.pd_damping * qd
+        )
     elif static.command_mode == "position_impedance":
         desired = action_tf[..., 0:9]
         stiffness = action_tf[..., 9:18]
-        computed = stiffness * (desired - q) - params.pd_damping * qd
+        computed = stiffness * (desired - q) - kd_s * params.pd_damping * qd
     else:
         raise ValueError(f"Invalid command mode: {static.command_mode!r}")
 
@@ -618,20 +668,29 @@ def _masked_full_reset(
         )
 
     scene = state.scene
+    pd_scale = state.pd_scale
     if static.dr_activate:
         from leibnizgym_tpu.dr import sample_scene_params  # local import: avoid cycle
 
-        scene_s = sample_scene_params(k_dr, n, params.scene_base)
+        k_dr, k_pd = jax.random.split(k_dr)
+        scene_s = sample_scene_params(
+            k_dr, n, params.scene_base,
+            ranges={name: (lo, hi) for name, lo, hi in static.dr_ranges},
+        )
         scene = jax.tree.map(
             lambda new, old: jnp.where(
                 mask.reshape((n,) + (1,) * (new.ndim - 1)), new, old
             ),
             scene_s, scene,
         )
+        lo, hi = static.dr_pd_gain_scale
+        pd_s = jax.random.uniform(k_pd, (n, 2), minval=lo, maxval=hi)
+        pd_scale = jnp.where(mask[:, None], pd_s, pd_scale)
 
     return state.replace(
         physics=physics,
         scene=scene,
+        pd_scale=pd_scale,
         goal_pose=jnp.where(m1, goal_s, state.goal_pose),
         goal_angvel=jnp.where(m1, angvel_s, state.goal_angvel),
         object_hist=object_hist,
@@ -657,16 +716,35 @@ def _masked_goal_reset(
 
 
 def _check_termination(static: EnvStatic, object_state, goal_pose, reward,
-                       goal_reset_buf, successes, info):
-    """Success termination (+bonus) — reference trifinger_env.py:1053-1099."""
+                       goal_reset_buf, successes, info, env_steps_count=None):
+    """Success termination (+bonus) — reference trifinger_env.py:1053-1099.
+
+    With ``tolerance_anneal_frames > 0`` the tolerances ramp linearly from
+    their ``*_init`` values to the final values over env-steps — the
+    curriculum mechanism for 6-DoF reposing (early loose successes provide
+    the bonus gradient that fixed tight tolerances never fire)."""
+    pos_tol = jnp.asarray(static.position_tolerance)
+    ori_tol = jnp.asarray(static.orientation_tolerance)
+    if static.tolerance_anneal_frames > 0.0 and env_steps_count is not None:
+        frac = jnp.clip(env_steps_count / static.tolerance_anneal_frames, 0.0, 1.0)
+        pos_tol = static.position_tolerance_init + frac * (
+            static.position_tolerance - static.position_tolerance_init
+        )
+        ori_tol = static.orientation_tolerance_init + frac * (
+            static.orientation_tolerance - static.orientation_tolerance_init
+        )
+        info["env/position_tolerance"] = pos_tol
+        info["env/orientation_tolerance"] = ori_tol
     pos_dist = jnp.linalg.norm(
         goal_pose[..., 0:3] - object_state[..., 0:3], axis=-1
     )
-    goal_position_reset = pos_dist <= static.position_tolerance
+    goal_position_reset = pos_dist <= pos_tol
     info["env/current_position_goal/count"] = jnp.sum(goal_position_reset)
     ori_dist = quat_diff_rad(object_state[..., 3:7], goal_pose[..., 3:7])
-    goal_orientation_reset = ori_dist <= static.orientation_tolerance
+    goal_orientation_reset = ori_dist <= ori_tol
     info["env/current_orientation_goal/count"] = jnp.sum(goal_orientation_reset)
+    info["env/pos_dist_mean"] = jnp.mean(pos_dist)
+    info["env/ori_dist_mean"] = jnp.mean(ori_dist)
 
     if static.task_difficulty < 4:
         completion = goal_position_reset
@@ -680,7 +758,9 @@ def _check_termination(static: EnvStatic, object_state, goal_pose, reward,
         goal_reset_buf = completion
         successes = successes + completion.astype(successes.dtype)
     else:
-        successes = jnp.where(goal_reset_buf, successes, 0)
+        # reference quirk: logical_and makes _successes a BOOL (0/1), not a
+        # count, when termination is off (trifinger_env.py:1096)
+        successes = (goal_reset_buf & (successes > 0)).astype(successes.dtype)
     info["env/average_consecutive_success"] = jnp.mean(successes.astype(jnp.float32))
     return reward, goal_reset_buf, successes, info
 
@@ -702,7 +782,10 @@ def env_step(static: EnvStatic, params: EnvParams, state: EnvState,
     state = _masked_goal_reset(static, params, state, goal_mask, k_goal)
 
     # pre-step: PD/torque pipeline
-    tau = compute_torque(static, params, action_buf, state.physics.q, state.physics.qd)
+    tau = compute_torque(
+        static, params, action_buf, state.physics.q, state.physics.qd,
+        state.pd_scale,
+    )
 
     # physics
     physics, tip_wrench = _simulate(
@@ -744,7 +827,7 @@ def env_step(static: EnvStatic, params: EnvParams, state: EnvState,
 
     reward, goal_reset_buf, successes, info = _check_termination(
         static, object_state, goal_pose, reward,
-        state.goal_reset_buf, state.successes, info,
+        state.goal_reset_buf, state.successes, info, env_steps_count,
     )
 
     # timeout
@@ -798,6 +881,7 @@ def env_reset(static: EnvStatic, params: EnvParams, key: jax.Array):
     state = EnvState(
         physics=PhysicsState.default((n,)),
         scene=scene,
+        pd_scale=jnp.ones((n, 2)),
         goal_pose=jnp.tile(jnp.array([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0]), (n, 1)),
         goal_angvel=jnp.zeros((n, 3)),
         action_buf=jnp.zeros((n, static.action_dim)),
@@ -816,7 +900,8 @@ def env_reset(static: EnvStatic, params: EnvParams, key: jax.Array):
         static, params, state, jnp.ones(n, bool), k_init
     )
     tau = compute_torque(
-        static, params, state.action_buf, state.physics.q, state.physics.qd
+        static, params, state.action_buf, state.physics.q, state.physics.qd,
+        state.pd_scale,
     )
     physics, tip_wrench = _simulate(static, state.physics, tau, state.scene, 1)
     frames = state.frames + 1

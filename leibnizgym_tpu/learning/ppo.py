@@ -250,7 +250,7 @@ def train_iteration(
 
     # ---------------- rollout ------------------------------------------------
     def rollout_step(carry, _):
-        env_state, obs, states, ep_ret, ep_len, key = carry
+        env_state, obs, states, ep_ret, ep_len, fin_ret, fin_n, key = carry
         key, k_act = jax.random.split(key)
         mu, log_std, _own_value = actor_critic.apply(ts.ac_params, obs)
         noise = jax.random.normal(k_act, mu.shape)
@@ -270,24 +270,29 @@ def train_iteration(
         shaped = reward * cfg.reward_shaper_scale
 
         # episode tracking on raw rewards; an env flagged for reset finishes
-        # its episode this step (the reset applies at the next step's start)
+        # its episode this step (the reset applies at the next step's start).
+        # Per-env final returns are carried so the runner can track individual
+        # episodes (rl_games game_rewards parity); with timeout-driven resets
+        # an env finishes at most once per horizon, so a (N,) slot is exact.
         ep_ret = ep_ret + reward
         ep_len = ep_len + 1
         finished = env_state.reset_buf
-        fin_ret_sum = jnp.sum(jnp.where(finished, ep_ret, 0.0))
-        fin_cnt = jnp.sum(finished)
+        fin_ret = jnp.where(finished, ep_ret, fin_ret)
+        fin_n = fin_n + finished.astype(fin_n.dtype)
         ep_ret = jnp.where(finished, 0.0, ep_ret)
         ep_len = jnp.where(finished, 0, ep_len)
 
         out = (obs, states, action, mu, log_std, neglogp, value, shaped,
-               done.astype(jnp.float32), fin_ret_sum, fin_cnt, info)
-        return (env_state, next_obs, next_states, ep_ret, ep_len, key), out
+               done.astype(jnp.float32), info)
+        return (env_state, next_obs, next_states, ep_ret, ep_len,
+                fin_ret, fin_n, key), out
 
-    carry0 = (ts.env_state, ts.obs, ts.states, ts.ep_return, ts.ep_len, ts.key)
+    carry0 = (ts.env_state, ts.obs, ts.states, ts.ep_return, ts.ep_len,
+              jnp.zeros(n), jnp.zeros(n, jnp.int32), ts.key)
     carry, traj = jax.lax.scan(rollout_step, carry0, None, length=h)
-    env_state, last_obs, last_states, ep_ret, ep_len, key = carry
+    env_state, last_obs, last_states, ep_ret, ep_len, fin_ret, fin_n, key = carry
     (b_obs, b_states, b_action, b_mu, b_log_std, b_neglogp, b_value, b_reward,
-     b_done, fin_ret_sums, fin_cnts, infos) = traj
+     b_done, infos) = traj
 
     if asym:
         last_value = central_value.apply(ts.cv_params, last_states)
@@ -446,8 +451,13 @@ def train_iteration(
         "info/epochs": new_ts.epoch.astype(jnp.float32),
         "info/frames": frame.astype(jnp.float32),
         "rewards/step_mean": jnp.mean(b_reward) / cfg.reward_shaper_scale,
-        "episodes/finished_return_sum": jnp.sum(fin_ret_sums),
-        "episodes/finished_count": jnp.sum(fin_cnts).astype(jnp.float32),
+        "episodes/finished_return_sum": jnp.sum(
+            jnp.where(fin_n > 0, fin_ret, 0.0)
+        ),
+        "episodes/finished_count": jnp.sum(fin_n).astype(jnp.float32),
+        # per-env vectors (popped by the runner before scalar TB logging)
+        "episodes/finished_returns": fin_ret,
+        "episodes/finished_n": fin_n,
         **last_info,
     }
     return new_ts, metrics

@@ -158,8 +158,18 @@ class Runner:
         template = self._ckpt_payload()
         try:
             payload = ckptr.restore(os.path.abspath(path), template)
-        except Exception:
-            # older checkpoints lack optimizer state; restore weights only
+        except (ValueError, KeyError) as e:
+            # structure mismatch only (e.g. older checkpoints lacking the
+            # optimizer state): fall back to a weights-only restore, loudly —
+            # optimizer state and LR restart from scratch. Genuine I/O errors
+            # or corrupt checkpoints still propagate.
+            from leibnizgym_tpu.utils import print_warn
+
+            print_warn(
+                f"Checkpoint {path} does not match the full training-state "
+                f"template ({type(e).__name__}: {e}); retrying weights-only. "
+                "Optimizer state and LR will be re-initialized."
+            )
             template = {
                 k: template[k]
                 for k in ("ac_params", "cv_params", "lr", "epoch", "frame")
@@ -174,26 +184,34 @@ class Runner:
 
     def _start_watchdog(self, timeout: float):
         """Failure detector for wedged device tunnels: if no epoch completes
-        within ``timeout`` seconds, exit(42) so a supervisor (e.g.
-        scripts/supervise_train.sh) can restart with --checkpoint resume.
-        A blocked XLA call cannot be interrupted from Python, so a hard exit
-        is the only reliable escape."""
+        within the current ``self._watchdog_timeout`` seconds, exit(42) so a
+        supervisor (e.g. scripts/supervise_train.sh) can restart with
+        --checkpoint resume. A blocked XLA call cannot be interrupted from
+        Python, so a hard exit is the only reliable escape. The timeout is
+        read each cycle, so the caller can arm it loose (first-epoch compile)
+        and tighten after progress begins."""
         import threading
 
+        self._watchdog_timeout = timeout
         self._last_progress = time.time()
 
         def watch():
             while True:
-                time.sleep(max(timeout / 4, 1.0))
-                if time.time() - self._last_progress > timeout:
+                t = self._watchdog_timeout
+                time.sleep(max(t / 4, 1.0))
+                if time.time() - self._last_progress > t:
                     print_notify(
-                        f"WATCHDOG: no training progress for {timeout:.0f}s — "
+                        f"WATCHDOG: no training progress for {t:.0f}s — "
                         "exiting 42 for supervised restart"
                     )
                     os._exit(42)
 
         t = threading.Thread(target=watch, daemon=True)
         t.start()
+
+    # compile of the first epoch (remote tunnel) can take ~15 min; the
+    # watchdog runs with this floor until the first epoch completes
+    _FIRST_EPOCH_WATCHDOG_FLOOR = 1800.0
 
     def train(self, max_epochs: Optional[int] = None,
               watchdog_timeout: Optional[float] = None):
@@ -204,7 +222,10 @@ class Runner:
         best_reward = -float("inf")
         t_start = time.time()
         if watchdog_timeout:
-            self._start_watchdog(watchdog_timeout)
+            # loose during the first epoch (XLA compile), tight afterwards
+            self._start_watchdog(
+                max(watchdog_timeout, self._FIRST_EPOCH_WATCHDOG_FLOOR)
+            )
         for epoch in range(1, epochs + 1):
             t0 = time.time()
             self.ts, metrics = self._train_iter(
@@ -212,14 +233,16 @@ class Runner:
             )
             metrics = jax.device_get(metrics)
             self._last_progress = time.time()
+            if epoch == 1 and watchdog_timeout:
+                self._watchdog_timeout = watchdog_timeout
             dt = time.time() - t0
             frame = int(metrics["info/frames"])
-            fin_cnt = float(metrics["episodes/finished_count"])
-            if fin_cnt > 0:
-                self.game_rewards.update(
-                    [float(metrics["episodes/finished_return_sum"]) / fin_cnt]
-                    * int(fin_cnt)
-                )
+            # per-episode returns (rl_games game_rewards parity: each finished
+            # episode contributes its own return to the tracking window)
+            fin_rets = np.asarray(metrics.pop("episodes/finished_returns"))
+            fin_n = np.asarray(metrics.pop("episodes/finished_n"))
+            if fin_n.sum() > 0:
+                self.game_rewards.update(fin_rets[fin_n > 0])
             fps = cfg.horizon * self.static.num_envs / dt
             if self.writer is not None:
                 for k, v in metrics.items():

@@ -135,6 +135,15 @@ TIP_SPHERE_OFFSET = np.array([0.0, 0.0, 0.0013], dtype=np.float32)
 WALL_INNER_RADIUS = 0.191
 WALL_HEIGHT = 0.176
 
+# lower-link shaft collision samples: (fraction along the knee->tip segment,
+# sphere radius). Radii measured from cross-sections of the reference lower
+# link mesh (SIM__BL-Finger_Tip_without_tip.obj: shaft p95 radius ~0.013 near
+# the knee tapering to ~0.0115 mid-span). These analytic spheres replace the
+# V-HACD convex pieces the reference collides for the forearm
+# (trifinger_env.py:874-937) — they stop a policy from pushing the lower link
+# through the cube while staying branch-free on TPU.
+LOWER_LINK_SAMPLES = ((0.30, 0.013), (0.65, 0.0115))
+
 # ---------------------------------------------------------------------------
 # Cube (cube_multicolor_rrc.urdf: 0.065 m box, density 291.3)
 # ---------------------------------------------------------------------------

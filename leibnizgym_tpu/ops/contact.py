@@ -124,7 +124,12 @@ def contact_target(
 
     Penetrating: Baumgarte bias beta/h * (depth - slop).
     Separated:   speculative -gap/h (may approach but not tunnel past contact).
-    Restitution: -e * v_n0 when impact speed exceeds the bounce threshold.
+    Restitution: -e * v_n0 when impact speed exceeds the bounce threshold AND
+                 the pair is predicted to touch within this substep
+                 (depth - v_n0*h > 0). Without the touch gate a separated pair
+                 approaching faster than the bounce threshold would receive a
+                 phantom impulse at a distance (PhysX applies restitution to
+                 speculative contacts only once they are predicted to touch).
     """
     bias = jnp.where(
         depth > 0.0,
@@ -134,5 +139,8 @@ def contact_target(
     # restitution can only RAISE the target, and only on real impacts —
     # a plain maximum(bias, 0) here would forbid approach velocity on
     # separated contacts and freeze bodies in mid-air.
-    rest = jnp.where(v_n0 < -bounce_threshold, -restitution * v_n0, -jnp.inf)
+    touching = depth - v_n0 * h > 0.0
+    rest = jnp.where(
+        (v_n0 < -bounce_threshold) & touching, -restitution * v_n0, -jnp.inf
+    )
     return jnp.maximum(bias, rest)

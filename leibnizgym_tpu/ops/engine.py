@@ -54,6 +54,11 @@ class _FingerPre(NamedTuple):
     jac_w: jax.Array  # (3, 3, 3) world-frame linear tip jacobian
     minv_jt: jax.Array  # (3, 3, 3) M^-1 J_w^T  (impulse -> delta qd map)
     a_tip: jax.Array  # (3, 3, 3) J M^-1 J^T  (tip-point inverse mass)
+    # lower-link shaft sample points (S = len(LOWER_LINK_SAMPLES) per finger)
+    samp_pos_w: jax.Array  # (3, S, 3)
+    samp_jac_w: jax.Array  # (3, S, 3, 3)
+    samp_minv_jt: jax.Array  # (3, S, 3, 3)
+    samp_a: jax.Array  # (3, S, 3, 3)
 
 
 def _finger_precompute(q_f: jax.Array, params: SceneParams) -> _FingerPre:
@@ -70,10 +75,27 @@ def _finger_precompute(q_f: jax.Array, params: SceneParams) -> _FingerPre:
         # transpose gives M^-1 J_w^T with impulse index last
         a_tip = jac_w @ minv_jt
         tip_w = MOUNT_POS + mount_rot @ fk.tip_pos
-        return tip_w, jac_w, minv_jt, a_tip
 
-    tip_w, jac_w, minv_jt, a_tip = jax.vmap(per_finger)(q_f, MOUNT_ROTS)
-    return _FingerPre(tip_w, jac_w, minv_jt, a_tip)
+        # lower-link shaft sample points: sphere centers along the knee->tip
+        # segment (replaces the reference's forearm V-HACD collision meshes,
+        # trifinger_env.py:874-937)
+        knee = fk.joint_pos[2]
+        sp_w, sj_w, sm, sa = [], [], [], []
+        for frac, _radius in tf_model.LOWER_LINK_SAMPLES:
+            p_local = knee + frac * (fk.tip_pos - knee)
+            rel = p_local[None, :] - fk.joint_pos  # (3 joints, 3)
+            cols = jnp.cross(fk.joint_axis, rel)  # rows = joints
+            j_w = mount_rot @ cols.T  # point jacobian, columns = joints
+            m_jt = jax.vmap(lambda col: solve_pd_3x3(m, col))(j_w).T
+            sp_w.append(MOUNT_POS + mount_rot @ p_local)
+            sj_w.append(j_w)
+            sm.append(m_jt)
+            sa.append(j_w @ m_jt)
+        return (tip_w, jac_w, minv_jt, a_tip, jnp.stack(sp_w), jnp.stack(sj_w),
+                jnp.stack(sm), jnp.stack(sa))
+
+    out = jax.vmap(per_finger)(q_f, MOUNT_ROTS)
+    return _FingerPre(*out)
 
 
 def _free_velocities(
@@ -148,6 +170,33 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
     # group D: tip spheres vs ground (3)
     d_depth = params.tip_radius - tip_centers[:, 2]
 
+    # group E: tip spheres vs arena wall (3); inward radial normal, acts on
+    # the finger only (reference stage collision, trifinger_env.py:874-937)
+    e_rho = jnp.linalg.norm(tip_centers[:, 0:2], axis=-1)
+    e_depth = e_rho + params.tip_radius - params.wall_radius
+    e_inward = -tip_centers[:, 0:2] / jnp.maximum(e_rho[:, None], 1e-9)
+    e_n = jnp.concatenate([e_inward, jnp.zeros((3, 1))], axis=-1)
+
+    # group F: lower-link shaft samples vs cube (3 fingers x S samples)
+    def link_cube(center, radius):
+        local = body.rot.T @ (center - state.cube_pos)
+        n_local, sdist, surf_local = closest_point_on_box(local, half)
+        depth = radius - sdist
+        n_w = -(body.rot @ n_local)  # +n pushes the cube away from the link
+        point = state.cube_pos + body.rot @ surf_local
+        return n_w, depth, point
+
+    _S = len(tf_model.LOWER_LINK_SAMPLES)
+    _SAMP_RADII = [r for _, r in tf_model.LOWER_LINK_SAMPLES]
+    f_n = [[None] * _S for _ in range(3)]
+    f_depth = [[None] * _S for _ in range(3)]
+    f_point = [[None] * _S for _ in range(3)]
+    for f in range(3):
+        for s in range(_S):
+            f_n[f][s], f_depth[f][s], f_point[f][s] = link_cube(
+                pre.samp_pos_w[f, s], _SAMP_RADII[s]
+            )
+
     # ---- effective masses, tangents, restitution targets -----------------
     def k_cube_dir(r, d):
         rxd = jnp.cross(r, d)
@@ -163,6 +212,12 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
     a_t1, a_t2 = _tangent_basis(ground_n)
     b_t = jax.vmap(_tangent_basis)(b_n)
     c_t = jax.vmap(_tangent_basis)(c_n)
+    e_t = jax.vmap(_tangent_basis)(e_n)
+    f_t = [[_tangent_basis(f_n[f][s]) for s in range(_S)] for f in range(3)]
+    f_r = [[f_point[f][s] - state.cube_pos for s in range(_S)] for f in range(3)]
+
+    def samp_vel(qd_f_, f, s):
+        return pre.samp_jac_w[f, s] @ qd_f_[f]
 
     a_vn0 = jax.vmap(lambda r: cube_point_vel(v, w, r) @ ground_n)(a_r)
     b_vn0 = jax.vmap(lambda r, n: cube_point_vel(v, w, r) @ n)(b_r, b_n)
@@ -170,6 +225,14 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
         (cube_point_vel(v, w, c_r[f]) - tip_vel(qd_f, f)) @ c_n[f] for f in range(3)
     ])
     d_vn0 = jnp.stack([tip_vel(qd_f, f)[2] for f in range(3)])
+    e_vn0 = jnp.stack([tip_vel(qd_f, f) @ e_n[f] for f in range(3)])
+    f_vn0 = [
+        [
+            (cube_point_vel(v, w, f_r[f][s]) - samp_vel(qd_f, f, s)) @ f_n[f][s]
+            for s in range(_S)
+        ]
+        for f in range(3)
+    ]
 
     a_target = jax.vmap(
         lambda depth, vn0: contact_target(
@@ -191,6 +254,21 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
             depth, vn0, params.restitution_tip_ground, params.bounce_threshold, h, cfg
         )
     )(d_depth, d_vn0)
+    e_target = jax.vmap(
+        lambda depth, vn0: contact_target(
+            depth, vn0, params.restitution_tip_wall, params.bounce_threshold, h, cfg
+        )
+    )(e_depth, e_vn0)
+    f_target = [
+        [
+            contact_target(
+                f_depth[f][s], f_vn0[f][s], params.restitution_link_cube,
+                params.bounce_threshold, h, cfg,
+            )
+            for s in range(_S)
+        ]
+        for f in range(3)
+    ]
 
     a_wn = jax.vmap(lambda r: k_cube_dir(r, ground_n))(a_r)
     a_wt1 = jax.vmap(lambda r: k_cube_dir(r, a_t1))(a_r)
@@ -212,12 +290,34 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
     d_wn = jnp.stack([pre.a_tip[f][2, 2] for f in range(3)])
     d_wt1 = jnp.stack([pre.a_tip[f][0, 0] for f in range(3)])
     d_wt2 = jnp.stack([pre.a_tip[f][1, 1] for f in range(3)])
+    e_wn = jnp.stack([e_n[f] @ pre.a_tip[f] @ e_n[f] for f in range(3)])
+    e_wt1 = jnp.stack([e_t[0][f] @ pre.a_tip[f] @ e_t[0][f] for f in range(3)])
+    e_wt2 = jnp.stack([e_t[1][f] @ pre.a_tip[f] @ e_t[1][f] for f in range(3)])
+
+    def f_w(f, s, d):
+        return k_cube_dir(f_r[f][s], d) + d @ pre.samp_a[f, s] @ d
+
+    f_wn = [[f_w(f, s, f_n[f][s]) for s in range(_S)] for f in range(3)]
+    f_wt1 = [[f_w(f, s, f_t[f][s][0]) for s in range(_S)] for f in range(3)]
+    f_wt2 = [[f_w(f, s, f_t[f][s][1]) for s in range(_S)] for f in range(3)]
+
+    # torsional friction about the contact normal at cube contacts (cube-side
+    # angular resistance only; the PhysX patch model torque bound is
+    # mu_torsion * patch_radius * lambda_n)
+    def k_spin(n):
+        return n @ body.inv_inertia_w @ n
+
+    a_ws = k_spin(ground_n)
+    b_ws = jax.vmap(k_spin)(b_n)
+    c_ws = jnp.stack([k_spin(c_n[f]) for f in range(3)])
+    mu_tor_r = params.mu_torsion * params.torsion_patch_radius
 
     # ---- projected Gauss-Seidel sweeps -----------------------------------
     def sweep(_, carry):
         v, w, qd_f, lam = carry
-        (a_ln, a_l1, a_l2, b_ln, b_l1, b_l2,
-         c_ln, c_l1, c_l2, d_ln, d_l1, d_l2) = lam
+        (a_ln, a_l1, a_l2, a_lt, b_ln, b_l1, b_l2, b_lt,
+         c_ln, c_l1, c_l2, c_lt, d_ln, d_l1, d_l2,
+         e_ln, e_l1, e_l2, f_ln, f_l1, f_l2) = lam
 
         # -- A: cube corners vs ground
         for i in range(8):
@@ -241,6 +341,12 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
             p = d_lam * a_t2
             v = v + body.inv_mass * p
             w = w + body.inv_inertia_w @ jnp.cross(r, p)
+            # torsional friction about the normal
+            d_lam, sl = solve_contact_friction(
+                w @ ground_n, a_ws, a_lt[i], mu_tor_r * nl
+            )
+            a_lt = a_lt.at[i].set(sl)
+            w = w + body.inv_inertia_w @ (d_lam * ground_n)
 
         # -- B: cube corners vs wall
         for i in range(8):
@@ -265,6 +371,9 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
                 p = d_lam * t_vec
                 v = v + body.inv_mass * p
                 w = w + body.inv_inertia_w @ jnp.cross(r, p)
+            d_lam, sl = solve_contact_friction(w @ n, b_ws[i], b_lt[i], mu_tor_r * nl)
+            b_lt = b_lt.at[i].set(sl)
+            w = w + body.inv_inertia_w @ (d_lam * n)
 
         # -- C: tips vs cube (impulse +P on cube, -P on finger f)
         for f in range(3):
@@ -291,6 +400,39 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
                 v = v + body.inv_mass * p
                 w = w + body.inv_inertia_w @ jnp.cross(r, p)
                 qd_f = qd_f.at[f].add(-(pre.minv_jt[f] @ p))
+            # cube-side spin resistance (tip treated as non-spinning about n)
+            d_lam, sl = solve_contact_friction(w @ n, c_ws[f], c_lt[f], mu_tor_r * nl)
+            c_lt = c_lt.at[f].set(sl)
+            w = w + body.inv_inertia_w @ (d_lam * n)
+
+        # -- F: lower-link shaft samples vs cube (impulse +P cube, -P finger)
+        for f in range(3):
+            for s in range(_S):
+                r, n = f_r[f][s], f_n[f][s]
+                u = (v + jnp.cross(w, r)) - pre.samp_jac_w[f, s] @ qd_f[f]
+                d_lam, nl = solve_contact_normal(
+                    u @ n, f_target[f][s], f_wn[f][s], f_ln[f, s]
+                )
+                f_ln = f_ln.at[f, s].set(nl)
+                p = d_lam * n
+                v = v + body.inv_mass * p
+                w = w + body.inv_inertia_w @ jnp.cross(r, p)
+                qd_f = qd_f.at[f].add(-(pre.samp_minv_jt[f, s] @ p))
+                mu_l = params.mu_link_cube * nl
+                for which in (0, 1):
+                    t_vec = f_t[f][s][which]
+                    w_t = f_wt1[f][s] if which == 0 else f_wt2[f][s]
+                    lam_prev = f_l1[f, s] if which == 0 else f_l2[f, s]
+                    u = (v + jnp.cross(w, r)) - pre.samp_jac_w[f, s] @ qd_f[f]
+                    d_lam, tl = solve_contact_friction(u @ t_vec, w_t, lam_prev, mu_l)
+                    if which == 0:
+                        f_l1 = f_l1.at[f, s].set(tl)
+                    else:
+                        f_l2 = f_l2.at[f, s].set(tl)
+                    p = d_lam * t_vec
+                    v = v + body.inv_mass * p
+                    w = w + body.inv_inertia_w @ jnp.cross(r, p)
+                    qd_f = qd_f.at[f].add(-(pre.samp_minv_jt[f, s] @ p))
 
         # -- D: tips vs ground (impulse +P on finger)
         ex = jnp.array([1.0, 0.0, 0.0])
@@ -311,13 +453,36 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
             d_l2 = d_l2.at[f].set(t2l)
             qd_f = qd_f.at[f].add(pre.minv_jt[f] @ (d_lam * ey))
 
-        return v, w, qd_f, (a_ln, a_l1, a_l2, b_ln, b_l1, b_l2,
-                            c_ln, c_l1, c_l2, d_ln, d_l1, d_l2)
+        # -- E: tips vs arena wall (impulse +P on finger, wall static)
+        for f in range(3):
+            n = e_n[f]
+            u = pre.jac_w[f] @ qd_f[f]
+            d_lam, nl = solve_contact_normal(u @ n, e_target[f], e_wn[f], e_ln[f])
+            e_ln = e_ln.at[f].set(nl)
+            qd_f = qd_f.at[f].add(pre.minv_jt[f] @ (d_lam * n))
+            mu_l = params.mu_tip_wall * nl
+            for which in (0, 1):
+                t_vec = e_t[which][f]
+                w_t = e_wt1[f] if which == 0 else e_wt2[f]
+                lam_prev = e_l1[f] if which == 0 else e_l2[f]
+                u = pre.jac_w[f] @ qd_f[f]
+                d_lam, tl = solve_contact_friction(u @ t_vec, w_t, lam_prev, mu_l)
+                if which == 0:
+                    e_l1 = e_l1.at[f].set(tl)
+                else:
+                    e_l2 = e_l2.at[f].set(tl)
+                qd_f = qd_f.at[f].add(pre.minv_jt[f] @ (d_lam * t_vec))
+
+        return v, w, qd_f, (a_ln, a_l1, a_l2, a_lt, b_ln, b_l1, b_l2, b_lt,
+                            c_ln, c_l1, c_l2, c_lt, d_ln, d_l1, d_l2,
+                            e_ln, e_l1, e_l2, f_ln, f_l1, f_l2)
 
     zeros8 = jnp.zeros(8)
     zeros3 = jnp.zeros(3)
-    lam0 = (zeros8, zeros8, zeros8, zeros8, zeros8, zeros8,
-            zeros3, zeros3, zeros3, zeros3, zeros3, zeros3)
+    zeros3s = jnp.zeros((3, _S))
+    lam0 = (zeros8, zeros8, zeros8, zeros8, zeros8, zeros8, zeros8, zeros8,
+            zeros3, zeros3, zeros3, zeros3, zeros3, zeros3, zeros3,
+            zeros3, zeros3, zeros3, zeros3s, zeros3s, zeros3s)
     v, w, qd_f, lam = jax.lax.fori_loop(
         0, cfg.solver_iterations, sweep, (v, w, qd_f, lam0)
     )
@@ -326,18 +491,26 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
     # Reconstructed from the converged accumulators — the net impulse each tip
     # exchanged this substep (replaces PhysX force sensors,
     # trifinger_env.py:827-832).
-    (_, _, _, _, _, _, c_ln, c_l1, c_l2, d_ln, d_l1, d_l2) = lam
+    (_, _, _, _, _, _, _, _, c_ln, c_l1, c_l2, _, d_ln, d_l1, d_l2,
+     e_ln, e_l1, e_l2, _, _, _) = lam
     ex = jnp.array([1.0, 0.0, 0.0])
     ey = jnp.array([0.0, 1.0, 0.0])
     ez = jnp.array([0.0, 0.0, 1.0])
-    # impulse ON the tip: reaction of cube contact (-P) plus ground contact (+P)
+    # impulse ON the tip: reaction of cube contact (-P) plus ground and wall
+    # contacts (+P); lower-link contacts act above the tip sensor and are
+    # excluded (the reference force sensors sit on the fingertip bodies,
+    # trifinger_env.py:827-832)
     imp_c = -(c_ln[:, None] * c_n + c_l1[:, None] * c_t[0] + c_l2[:, None] * c_t[1])
     imp_d = d_ln[:, None] * ez + d_l1[:, None] * ex + d_l2[:, None] * ey
-    tip_impulse = imp_c + imp_d  # (3 fingers, 3)
+    imp_e = e_ln[:, None] * e_n + e_l1[:, None] * e_t[0] + e_l2[:, None] * e_t[1]
+    tip_impulse = imp_c + imp_d + imp_e  # (3 fingers, 3)
     # torque impulse about the tip frame origin
     arm_c = c_point - pre.tip_pos_w  # (3, 3)
     arm_d = (tip_centers - params.tip_radius * ez) - pre.tip_pos_w
-    tip_torque_impulse = jnp.cross(arm_c, imp_c) + jnp.cross(arm_d, imp_d)
+    arm_e = (tip_centers - params.tip_radius * e_n) - pre.tip_pos_w
+    tip_torque_impulse = (
+        jnp.cross(arm_c, imp_c) + jnp.cross(arm_d, imp_d) + jnp.cross(arm_e, imp_e)
+    )
 
     # ---- position integration + limits -----------------------------------
     q_new = (q_f + h * qd_f).reshape(9)

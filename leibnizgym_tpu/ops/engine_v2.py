@@ -59,8 +59,6 @@ _INERTIAS = tuple(
 _MOUNT_CS = tuple(
     (math.cos(float(y)), math.sin(float(y))) for y in tf_model.FINGER_MOUNT_YAWS
 )
-_JLOW = tuple(float(x) for x in np.tile(tf_model.JOINT_POS_LOW, 3))
-_JHIGH = tuple(float(x) for x in np.tile(tf_model.JOINT_POS_HIGH, 3))
 _CORNER_SIGNS = tuple(
     (float(sx), float(sy), float(sz))
     for sx in (-1.0, 1.0)
@@ -82,6 +80,9 @@ class _FingerData(NamedTuple):
     jw_cols: tuple  # 3 columns (vec3) of the world tip jacobian, by joint
     minv_jt_cols: tuple  # 3 columns (vec3): M^-1 J_w^T e_k for k = x, y, z
     a_tip: tuple  # mat3 J M^-1 J^T
+    # lower-link shaft samples: per sample (pos_w vec3, jw_cols 3x vec3,
+    # minv_jt_cols 3x vec3, a mat3)
+    samples: tuple
 
 
 def _finger_dynamics(f: int, q9, qd9, tau9, gravity, link_mass_scale,
@@ -199,50 +200,74 @@ def _finger_dynamics(f: int, q9, qd9, tau9, gravity, link_mass_scale,
     qd_new = tuple(qd[i] + h * qdd[i] for i in range(3))
 
     # ---- world-frame contact quantities ----------------------------------
-    tip_w = v3_add((0.0, 0.0, _MOUNT_Z), _mount_rotate(f, tip))
-    jw_cols = []
-    for i in range(3):
-        col_local = v3_cross(axes[i], v3_sub(tip, joints[i]))
-        jw_cols.append(_mount_rotate(f, col_local))
-    # minv_jt columns: M^-1 (row k of J_w) for world axes k
-    minv_jt_cols = []
-    for k in range(3):
-        row_k = (jw_cols[0][k], jw_cols[1][k], jw_cols[2][k])
-        minv_jt_cols.append(chol3_solve_factored(chol, row_k))
-    # a_tip[k][m] = row_k(J) . minv_jt_col_m
-    a_tip = tuple(
-        tuple(
-            jw_cols[0][k] * minv_jt_cols[mm][0]
-            + jw_cols[1][k] * minv_jt_cols[mm][1]
-            + jw_cols[2][k] * minv_jt_cols[mm][2]
-            for mm in range(3)
+    def point_contact_data(p_local):
+        """World position, world point jacobian columns, M^-1 J^T columns and
+        J M^-1 J^T for a point rigidly attached to the lower link."""
+        pos_w = v3_add((0.0, 0.0, _MOUNT_Z), _mount_rotate(f, p_local))
+        cols = []
+        for i in range(3):
+            col_local = v3_cross(axes[i], v3_sub(p_local, joints[i]))
+            cols.append(_mount_rotate(f, col_local))
+        minv_cols = []
+        for k in range(3):
+            row_k = (cols[0][k], cols[1][k], cols[2][k])
+            minv_cols.append(chol3_solve_factored(chol, row_k))
+        a = tuple(
+            tuple(
+                cols[0][k] * minv_cols[mm][0]
+                + cols[1][k] * minv_cols[mm][1]
+                + cols[2][k] * minv_cols[mm][2]
+                for mm in range(3)
+            )
+            for k in range(3)
         )
-        for k in range(3)
+        return pos_w, tuple(cols), tuple(minv_cols), a
+
+    tip_w, jw_cols, minv_jt_cols, a_tip = point_contact_data(tip)
+
+    # lower-link shaft samples (new contact pairs; see models.trifinger
+    # LOWER_LINK_SAMPLES)
+    samples = []
+    for frac, _radius in tf_model.LOWER_LINK_SAMPLES:
+        p_s = v3_add(joints[2], v3_scale(v3_sub(tip, joints[2]), frac))
+        samples.append(point_contact_data(p_s))
+
+    return qd_new, _FingerData(
+        qd_new, tip_w, jw_cols, minv_jt_cols, a_tip, tuple(samples)
     )
-    return qd_new, _FingerData(qd_new, tip_w, tuple(jw_cols), tuple(minv_jt_cols), a_tip)
 
 
-def _tip_point_vel(fd: _FingerData, qd):
-    """World velocity of the tip = J_w qd."""
+def _point_vel_cols(jw_cols, qd):
+    """World velocity of an attached point = J_w qd (jacobian given by cols)."""
     return (
-        fd.jw_cols[0][0] * qd[0] + fd.jw_cols[1][0] * qd[1] + fd.jw_cols[2][0] * qd[2],
-        fd.jw_cols[0][1] * qd[0] + fd.jw_cols[1][1] * qd[1] + fd.jw_cols[2][1] * qd[2],
-        fd.jw_cols[0][2] * qd[0] + fd.jw_cols[1][2] * qd[1] + fd.jw_cols[2][2] * qd[2],
+        jw_cols[0][0] * qd[0] + jw_cols[1][0] * qd[1] + jw_cols[2][0] * qd[2],
+        jw_cols[0][1] * qd[0] + jw_cols[1][1] * qd[1] + jw_cols[2][1] * qd[2],
+        jw_cols[0][2] * qd[0] + jw_cols[1][2] * qd[1] + jw_cols[2][2] * qd[2],
     )
 
 
-def _apply_tip_impulse(fd: _FingerData, qd, p, sign):
-    """qd += sign * M^-1 J_w^T p."""
+def _apply_impulse_cols(minv_cols, qd, p, sign):
+    """qd += sign * M^-1 J_w^T p for the jacobian whose M^-1 J^T cols are given."""
     return tuple(
         qd[i]
         + sign
         * (
-            fd.minv_jt_cols[0][i] * p[0]
-            + fd.minv_jt_cols[1][i] * p[1]
-            + fd.minv_jt_cols[2][i] * p[2]
+            minv_cols[0][i] * p[0]
+            + minv_cols[1][i] * p[1]
+            + minv_cols[2][i] * p[2]
         )
         for i in range(3)
     )
+
+
+def _tip_point_vel(fd: _FingerData, qd):
+    """World velocity of the tip = J_w qd."""
+    return _point_vel_cols(fd.jw_cols, qd)
+
+
+def _apply_tip_impulse(fd: _FingerData, qd, p, sign):
+    """qd += sign * M^-1 J_w^T p."""
+    return _apply_impulse_cols(fd.minv_jt_cols, qd, p, sign)
 
 
 def _tangent_basis_s(n):
@@ -264,7 +289,12 @@ def _contact_target_s(depth, v_n0, restitution, bounce_threshold, h, cfg):
         cfg.baumgarte / h * jnp.maximum(depth - cfg.contact_slop, 0.0),
         depth / h,
     )
-    rest = jnp.where(v_n0 < -bounce_threshold, -restitution * v_n0, -jnp.inf)
+    # restitution gated on predicted touch within the substep (see
+    # contact.contact_target)
+    touching = depth - v_n0 * h > 0.0
+    rest = jnp.where(
+        (v_n0 < -bounce_threshold) & touching, -restitution * v_n0, -jnp.inf
+    )
     return jnp.maximum(bias, rest)
 
 
@@ -370,10 +400,10 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
                  wn=k_cube_dir(r, n), wt1=k_cube_dir(r, t1), wt2=k_cube_dir(r, t2))
         )
 
-    # ---- group C: tip spheres vs cube -------------------------------------
-    c_contacts = []
-    for f in range(3):
-        center = v3_add(fingers[f].tip_w, (0.0, 0.0, _TIP_OFF_Z))
+    # ---- sphere-vs-cube closest-point helper (shared by groups C and F) ----
+    def sphere_vs_cube(center):
+        """Returns (r, n_w, t1, t2, point, sdist) of the box point closest to
+        ``center``; +n pushes the cube away from the sphere."""
         local = m3_matvec(m3_T(rot), v3_sub(center, pos))
         clamped = tuple(jnp.clip(local[i], -half[i], half[i]) for i in range(3))
         delta = v3_sub(local, clamped)
@@ -400,11 +430,18 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
             jnp.where(outside, clamped[i], local[i] + n_in[i] * gap_sel)
             for i in range(3)
         )
-        depth = params.tip_radius - sdist
-        n_w = v3_scale(m3_matvec(rot, n_local), -1.0)  # +n pushes the cube away
+        n_w = v3_scale(m3_matvec(rot, n_local), -1.0)
         point = v3_add(pos, m3_matvec(rot, surf_local))
         r = v3_sub(point, pos)
         t1, t2 = _tangent_basis_s(n_w)
+        return r, n_w, t1, t2, point, sdist
+
+    # ---- group C: tip spheres vs cube -------------------------------------
+    c_contacts = []
+    for f in range(3):
+        center = v3_add(fingers[f].tip_w, (0.0, 0.0, _TIP_OFF_Z))
+        r, n_w, t1, t2, point, sdist = sphere_vs_cube(center)
+        depth = params.tip_radius - sdist
         u = v3_sub(cube_point_vel(v, w, r), _tip_point_vel(fingers[f], qd_f[f]))
         target = _contact_target_s(
             depth, v3_dot(u, n_w), params.restitution_tip_cube,
@@ -420,6 +457,29 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
                  wn=w_pair(n_w), wt1=w_pair(t1), wt2=w_pair(t2))
         )
 
+    # ---- group F: lower-link shaft samples vs cube ------------------------
+    f_contacts = []  # flat list, index f * S + s
+    _S = len(tf_model.LOWER_LINK_SAMPLES)
+    for f in range(3):
+        for s_idx, (_frac, radius) in enumerate(tf_model.LOWER_LINK_SAMPLES):
+            pos_w, cols, minv_cols, a_pt = fingers[f].samples[s_idx]
+            r, n_w, t1, t2, point, sdist = sphere_vs_cube(pos_w)
+            depth = radius - sdist
+            u = v3_sub(cube_point_vel(v, w, r), _point_vel_cols(cols, qd_f[f]))
+            target = _contact_target_s(
+                depth, v3_dot(u, n_w), params.restitution_link_cube,
+                params.bounce_threshold, h, cfg,
+            )
+
+            def w_pair_s(d, r=r, a_pt=a_pt):
+                return k_cube_dir(r, d) + v3_dot(d, m3_matvec(a_pt, d))
+
+            f_contacts.append(
+                dict(r=r, n=n_w, t1=t1, t2=t2, target=target,
+                     cols=cols, minv_cols=minv_cols,
+                     wn=w_pair_s(n_w), wt1=w_pair_s(t1), wt2=w_pair_s(t2))
+            )
+
     # ---- group D: tip spheres vs ground -----------------------------------
     d_contacts = []
     for f in range(3):
@@ -433,6 +493,39 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
         d_contacts.append(
             dict(target=target, wn=at[2][2], wt1=at[0][0], wt2=at[1][1])
         )
+
+    # ---- group E: tip spheres vs arena wall -------------------------------
+    e_contacts = []
+    for f in range(3):
+        center = v3_add(fingers[f].tip_w, (0.0, 0.0, _TIP_OFF_Z))
+        rho = jnp.sqrt(jnp.maximum(center[0] ** 2 + center[1] ** 2, 1e-18))
+        depth = rho + params.tip_radius - params.wall_radius
+        inv_rho = 1.0 / rho
+        n = (-center[0] * inv_rho, -center[1] * inv_rho, jnp.zeros_like(rho))
+        t1, t2 = _tangent_basis_s(n)
+        u = _tip_point_vel(fingers[f], qd_f[f])
+        target = _contact_target_s(
+            depth, v3_dot(u, n), params.restitution_tip_wall,
+            params.bounce_threshold, h, cfg,
+        )
+        at = fingers[f].a_tip
+
+        def w_dir(d, at=at):
+            return v3_dot(d, m3_matvec(at, d))
+
+        e_contacts.append(
+            dict(n=n, t1=t1, t2=t2, target=target, center=center,
+                 wn=w_dir(n), wt1=w_dir(t1), wt2=w_dir(t2))
+        )
+
+    # ---- torsional friction spin masses at cube contacts ------------------
+    def k_spin(n):
+        return v3_dot(n, m3_matvec(inv_i_w, n))
+
+    a_ws = inv_i_w[2][2]
+    b_ws = [k_spin(ct["n"]) for ct in b_contacts]
+    c_ws = [k_spin(ct["n"]) for ct in c_contacts]
+    mu_tor_r = params.mu_torsion * params.torsion_patch_radius
 
     # ---- PGS sweeps --------------------------------------------------------
     def normal_step(u_n, target, w_n, lam):
@@ -451,11 +544,15 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
 
     z = jnp.zeros_like(pos[0])
 
+    def spin_apply(w, n, d_lam):
+        return v3_add(w, m3_matvec(inv_i_w, v3_scale(n, d_lam)))
+
     def sweep(_, carry):
         v, w, qd0, qd1, qd2, lam = carry
         qds = [qd0, qd1, qd2]
-        (a_ln, a_l1, a_l2, b_ln, b_l1, b_l2, c_ln, c_l1, c_l2,
-         d_ln, d_l1, d_l2) = [list(x) for x in lam]
+        (a_ln, a_l1, a_l2, a_lt, b_ln, b_l1, b_l2, b_lt,
+         c_ln, c_l1, c_l2, c_lt, d_ln, d_l1, d_l2,
+         e_ln, e_l1, e_l2, f_ln, f_l1, f_l2) = [list(x) for x in lam]
 
         for i, ct in enumerate(a_contacts):
             r = ct["r"]
@@ -469,6 +566,8 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
             u = cube_point_vel(v, w, r)
             d_lam, a_l2[i] = friction_step(-u[0], ct["wt2"], a_l2[i], mu_l)
             v, w = cube_apply(v, w, r, (-d_lam, z, z))
+            d_lam, a_lt[i] = friction_step(w[2], a_ws, a_lt[i], mu_tor_r * a_ln[i])
+            w = spin_apply(w, (z + 0.0, z + 0.0, z + 1.0), d_lam)
 
         for i, ct in enumerate(b_contacts):
             r, n = ct["r"], ct["n"]
@@ -482,6 +581,10 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
             u = cube_point_vel(v, w, r)
             d_lam, b_l2[i] = friction_step(v3_dot(u, ct["t2"]), ct["wt2"], b_l2[i], mu_l)
             v, w = cube_apply(v, w, r, v3_scale(ct["t2"], d_lam))
+            d_lam, b_lt[i] = friction_step(
+                v3_dot(w, n), b_ws[i], b_lt[i], mu_tor_r * b_ln[i]
+            )
+            w = spin_apply(w, n, d_lam)
 
         for f, ct in enumerate(c_contacts):
             r, n = ct["r"], ct["n"]
@@ -504,6 +607,34 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
                 p = v3_scale(t_vec, d_lam)
                 v, w = cube_apply(v, w, r, p)
                 qds[f] = _apply_tip_impulse(fingers[f], qds[f], p, -1.0)
+            # cube-side spin resistance (tip treated as non-spinning about n)
+            d_lam, c_lt[f] = friction_step(
+                v3_dot(w, n), c_ws[f], c_lt[f], mu_tor_r * c_ln[f]
+            )
+            w = spin_apply(w, n, d_lam)
+
+        for idx, ct in enumerate(f_contacts):
+            f = idx // _S
+            r, n = ct["r"], ct["n"]
+            u = v3_sub(cube_point_vel(v, w, r), _point_vel_cols(ct["cols"], qds[f]))
+            d_lam, f_ln[idx] = normal_step(v3_dot(u, n), ct["target"], ct["wn"], f_ln[idx])
+            p = v3_scale(n, d_lam)
+            v, w = cube_apply(v, w, r, p)
+            qds[f] = _apply_impulse_cols(ct["minv_cols"], qds[f], p, -1.0)
+            mu_l = params.mu_link_cube * f_ln[idx]
+            for which in (0, 1):
+                t_vec = ct["t1"] if which == 0 else ct["t2"]
+                w_t = ct["wt1"] if which == 0 else ct["wt2"]
+                lam_prev = f_l1[idx] if which == 0 else f_l2[idx]
+                u = v3_sub(cube_point_vel(v, w, r), _point_vel_cols(ct["cols"], qds[f]))
+                d_lam, new_lam = friction_step(v3_dot(u, t_vec), w_t, lam_prev, mu_l)
+                if which == 0:
+                    f_l1[idx] = new_lam
+                else:
+                    f_l2[idx] = new_lam
+                p = v3_scale(t_vec, d_lam)
+                v, w = cube_apply(v, w, r, p)
+                qds[f] = _apply_impulse_cols(ct["minv_cols"], qds[f], p, -1.0)
 
         for f, ct in enumerate(d_contacts):
             u = _tip_point_vel(fingers[f], qds[f])
@@ -517,22 +648,46 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
             d_lam, d_l2[f] = friction_step(u[1], ct["wt2"], d_l2[f], mu_l)
             qds[f] = _apply_tip_impulse(fingers[f], qds[f], (z, d_lam, z), 1.0)
 
-        lam = (tuple(a_ln), tuple(a_l1), tuple(a_l2),
-               tuple(b_ln), tuple(b_l1), tuple(b_l2),
-               tuple(c_ln), tuple(c_l1), tuple(c_l2),
-               tuple(d_ln), tuple(d_l1), tuple(d_l2))
+        for f, ct in enumerate(e_contacts):
+            n = ct["n"]
+            u = _tip_point_vel(fingers[f], qds[f])
+            d_lam, e_ln[f] = normal_step(v3_dot(u, n), ct["target"], ct["wn"], e_ln[f])
+            qds[f] = _apply_tip_impulse(fingers[f], qds[f], v3_scale(n, d_lam), 1.0)
+            mu_l = params.mu_tip_wall * e_ln[f]
+            for which in (0, 1):
+                t_vec = ct["t1"] if which == 0 else ct["t2"]
+                w_t = ct["wt1"] if which == 0 else ct["wt2"]
+                lam_prev = e_l1[f] if which == 0 else e_l2[f]
+                u = _tip_point_vel(fingers[f], qds[f])
+                d_lam, new_lam = friction_step(v3_dot(u, t_vec), w_t, lam_prev, mu_l)
+                if which == 0:
+                    e_l1[f] = new_lam
+                else:
+                    e_l2[f] = new_lam
+                qds[f] = _apply_tip_impulse(fingers[f], qds[f], v3_scale(t_vec, d_lam), 1.0)
+
+        lam = (tuple(a_ln), tuple(a_l1), tuple(a_l2), tuple(a_lt),
+               tuple(b_ln), tuple(b_l1), tuple(b_l2), tuple(b_lt),
+               tuple(c_ln), tuple(c_l1), tuple(c_l2), tuple(c_lt),
+               tuple(d_ln), tuple(d_l1), tuple(d_l2),
+               tuple(e_ln), tuple(e_l1), tuple(e_l2),
+               tuple(f_ln), tuple(f_l1), tuple(f_l2))
         return v, w, qds[0], qds[1], qds[2], lam
 
     z8 = tuple(z for _ in range(8))
     z3 = tuple(z for _ in range(3))
-    lam0 = (z8, z8, z8, z8, z8, z8, z3, z3, z3, z3, z3, z3)
+    z3s = tuple(z for _ in range(3 * _S))
+    lam0 = (z8, z8, z8, z8, z8, z8, z8, z8,
+            z3, z3, z3, z3, z3, z3, z3,
+            z3, z3, z3, z3s, z3s, z3s)
     v, w, qd0, qd1, qd2, lam = jax.lax.fori_loop(
         0, cfg.solver_iterations, sweep, (v, w, qd_f[0], qd_f[1], qd_f[2], lam0)
     )
     qd_f = [qd0, qd1, qd2]
 
     # ---- fingertip contact impulses (wrench sensing) ----------------------
-    (_, _, _, _, _, _, c_ln, c_l1, c_l2, d_ln, d_l1, d_l2) = lam
+    (_, _, _, _, _, _, _, _, c_ln, c_l1, c_l2, _, d_ln, d_l1, d_l2,
+     e_ln, e_l1, e_l2, _, _, _) = lam
     tip_imp = []
     tip_timp = []
     for f in range(3):
@@ -545,26 +700,41 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
             -1.0,
         )
         imp_d = (d_l1[f], d_l2[f], d_ln[f])
-        imp = v3_add(imp_c, imp_d)
+        et = e_contacts[f]
+        imp_e = v3_add(
+            v3_add(v3_scale(et["n"], e_ln[f]), v3_scale(et["t1"], e_l1[f])),
+            v3_scale(et["t2"], e_l2[f]),
+        )
+        imp = v3_add(v3_add(imp_c, imp_d), imp_e)
         center = v3_add(fingers[f].tip_w, (0.0, 0.0, _TIP_OFF_Z))
         arm_c = v3_sub(ct["point"], fingers[f].tip_w)
         arm_d = v3_sub(
             (center[0], center[1], center[2] - params.tip_radius), fingers[f].tip_w
         )
-        timp = v3_add(v3_cross(arm_c, imp_c), v3_cross(arm_d, imp_d))
+        arm_e = v3_sub(
+            v3_sub(center, v3_scale(et["n"], params.tip_radius)), fingers[f].tip_w
+        )
+        timp = v3_add(
+            v3_add(v3_cross(arm_c, imp_c), v3_cross(arm_d, imp_d)),
+            v3_cross(arm_e, imp_e),
+        )
         tip_imp.append(imp)
         tip_timp.append(timp)
 
     # ---- integrate positions + joint limits -------------------------------
+    # limits come from cfg (static python floats, folded at trace time) so a
+    # non-default SolverConfig cannot silently diverge from engine.py
+    jlow = tuple(float(x) for x in cfg.joint_limit_lower)
+    jhigh = tuple(float(x) for x in cfg.joint_limit_upper)
     q_new, qd_out = [], []
     for f in range(3):
         for j in range(3):
             gi = 3 * f + j
             qv = state.q[gi] + h * qd_f[f][j]
-            qc = jnp.clip(qv, _JLOW[gi], _JHIGH[gi])
+            qc = jnp.clip(qv, jlow[gi], jhigh[gi])
             qdv = qd_f[f][j]
-            at_lower = (qv <= _JLOW[gi]) & (qdv < 0.0)
-            at_upper = (qv >= _JHIGH[gi]) & (qdv > 0.0)
+            at_lower = (qv <= jlow[gi]) & (qdv < 0.0)
+            at_upper = (qv >= jhigh[gi]) & (qdv > 0.0)
             qdv = jnp.where(at_lower | at_upper, 0.0, qdv)
             qdv = jnp.clip(qdv, -params.velocity_limit, params.velocity_limit)
             q_new.append(qc)

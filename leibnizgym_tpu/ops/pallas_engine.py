@@ -56,6 +56,12 @@ _PARAM_FIELDS = (
     ("tip_radius", 1),
     ("bounce_threshold", 1),
     ("wall_radius", 1),
+    ("mu_tip_wall", 1),
+    ("restitution_tip_wall", 1),
+    ("mu_link_cube", 1),
+    ("restitution_link_cube", 1),
+    ("mu_torsion", 1),
+    ("torsion_patch_radius", 1),
 )
 PARAM_ROWS = sum(k for _, k in _PARAM_FIELDS)
 

@@ -86,6 +86,18 @@ class SceneParams:
     bounce_threshold: jax.Array  # () restitution activation velocity
     # arena
     wall_radius: jax.Array  # ()
+    # extended contact pairs (tip-vs-wall, lower-link-vs-cube; reference
+    # collision setup trifinger_env.py:874-937 collides every finger link and
+    # the stage boundary)
+    mu_tip_wall: jax.Array  # ()
+    restitution_tip_wall: jax.Array  # ()
+    mu_link_cube: jax.Array  # ()
+    restitution_link_cube: jax.Array  # ()
+    # torsional friction at cube contacts (reference object shape prop
+    # torsion_friction=0.001, trifinger_env.py:932-937). Torque bound is
+    # mu_torsion * patch_radius * lambda_n (PhysX patch model).
+    mu_torsion: jax.Array  # ()
+    torsion_patch_radius: jax.Array  # ()
 
     @classmethod
     def default(cls, object_size=None, object_density: float | None = None) -> "SceneParams":
@@ -138,6 +150,22 @@ class SceneParams:
             tip_radius=jnp.asarray(tf_model.TIP_SPHERE_RADIUS),
             bounce_threshold=jnp.asarray(0.5),
             wall_radius=jnp.asarray(tf_model.WALL_INNER_RADIUS),
+            mu_tip_wall=jnp.asarray(
+                combine(tf_model.ROBOT_FRICTION, tf_model.STAGE_FRICTION)
+            ),
+            restitution_tip_wall=jnp.asarray(
+                combine(tf_model.ROBOT_RESTITUTION, 0.0)
+            ),
+            mu_link_cube=jnp.asarray(
+                combine(tf_model.ROBOT_FRICTION, tf_model.OBJECT_FRICTION)
+            ),
+            restitution_link_cube=jnp.asarray(
+                combine(tf_model.ROBOT_RESTITUTION, tf_model.OBJECT_RESTITUTION)
+            ),
+            mu_torsion=jnp.asarray(
+                combine(0.0, tf_model.OBJECT_TORSION_FRICTION)
+            ),
+            torsion_patch_radius=jnp.asarray(0.01),
         )
 
 

@@ -19,7 +19,9 @@ while true; do
         echo "[supervisor] resuming from $ckpt"
         resume=("args.checkpoint=$ckpt")
     fi
-    python "$(dirname "$0")/train.py" "args.logdir=$LOGDIR" "$@" "${resume[@]}"
+    # ${resume[@]+...} guards the empty-array expansion under `set -u`
+    # (bash < 4.4 treats "${resume[@]}" on an empty array as unbound)
+    python "$(dirname "$0")/train.py" "args.logdir=$LOGDIR" "$@" ${resume[@]+"${resume[@]}"}
     code=$?
     if [ $code -eq 0 ]; then
         echo "[supervisor] training completed"

@@ -37,6 +37,53 @@ class TestSampler:
 
 
 class TestEnvIntegration:
+    def test_config_ranges_reach_sampler(self):
+        """Configured domain_randomization ranges must be honored, not
+        silently replaced by DR_DEFAULTS (round-1 advisor finding)."""
+        env = TrifingerEnv(
+            config={"num_instances": 64, "command_mode": "position",
+                    "domain_randomization": {
+                        "activate": True,
+                        "cube_mass_scale": [2.0, 2.0],  # far outside defaults
+                        "pd_gain_scale": [0.5, 0.5],
+                    },
+                    "sim": {"substeps": 2}},
+            verbose=False,
+        )
+        env.reset()
+        masses = np.asarray(env.state.scene.cube_mass)
+        base_mass = float(SceneParams.default().cube_mass)
+        assert np.allclose(masses, 2.0 * base_mass, rtol=1e-4), (
+            "configured cube_mass_scale ignored")
+        # pd_gain_scale is applied per env at reset
+        assert np.allclose(np.asarray(env.state.pd_scale), 0.5, rtol=1e-5)
+        obs, rew, dones, info = env.step(jnp.zeros((64, 9)))
+        assert bool(jnp.isfinite(obs).all())
+
+    def test_pd_gain_scale_changes_torque(self):
+        from leibnizgym_tpu.envs.trifinger.env import compute_torque
+
+        env = TrifingerEnv(
+            config={"num_instances": 4, "command_mode": "position",
+                    "sim": {"substeps": 2}},
+            verbose=False,
+        )
+        env.reset()
+        from leibnizgym_tpu.utils.math import scale_transform
+
+        q = env.state.physics.q
+        qd = env.state.physics.qd
+        # target slightly away from q so the PD torque is small (unsaturated);
+        # a big error would saturate both variants to +-0.36 identically
+        act = scale_transform(
+            q + 0.02, env.params.action_scale_low, env.params.action_scale_high
+        )
+        tau_1 = compute_torque(env.static, env.params, act, q, qd,
+                               jnp.ones((4, 2)))
+        tau_half = compute_torque(env.static, env.params, act, q, qd,
+                                  jnp.full((4, 2), 0.5))
+        assert float(jnp.abs(tau_1 - tau_half).max()) > 1e-4
+
     def test_dr_env_runs_and_varies(self):
         env = TrifingerEnv(
             config={"num_instances": 32, "command_mode": "torque",

@@ -15,7 +15,8 @@ import pytest
 _SCRIPT = os.path.join(os.path.dirname(__file__), "..", "scripts", "multihost_demo.py")
 
 
-@pytest.mark.timeout(600)
+# no @pytest.mark.timeout: pytest-timeout is not installed (the mark would be
+# silently inert); the real bound is communicate(timeout=570) below
 def test_two_process_training():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"

@@ -234,8 +234,11 @@ class TestContacts:
             cube_pos=jnp.array([0.07, 0.05, 0.0325]),
             q=jnp.tile(jnp.asarray(tf_model.JOINT_POS_DEFAULT), 3),
         )
-        # push joint 2/3 of finger 0 to extend the finger outward/down
-        tau = jnp.zeros(9).at[1].set(0.3).at[2].set(-0.2)
+        # flex joint 2 down / extend joint 3 so the tip drives into the cube
+        # (the original +0.3/-0.2 torque swings the finger up AWAY from the
+        # cube; it only "passed" pre-round-2 through the speculative
+        # restitution bug that applied impulses at a distance)
+        tau = jnp.zeros(9).at[1].set(-0.3).at[2].set(0.2)
         moved = False
         for _ in range(150):
             state, wrench = step_fn(state, tau, params)
@@ -243,6 +246,109 @@ class TestContacts:
                 moved = True
                 break
         assert moved, "cube never moved despite finger contact"
+
+    def test_free_fall_not_decelerated_at_distance(self, step_fn):
+        """Speculative contacts must not brake an approach before touching.
+
+        Pre-round-2 the restitution target fired on separated contacts,
+        capping any approach faster than the 0.5 m/s bounce threshold — a
+        cube dropped from 10 cm must hit the ground at ~sqrt(2 g h), not 0.5.
+        """
+        params = SceneParams.default()
+        state = PhysicsState.default(()).replace(
+            cube_pos=jnp.array([0.0, 0.0, 0.1]),
+            q=jnp.tile(jnp.asarray(tf_model.JOINT_POS_DEFAULT), 3),
+        )
+        tau_g = gravity_hold_torque()
+        max_speed = 0.0
+        for _ in range(12):
+            state, _ = step_fn(state, tau_g, params)
+            max_speed = max(max_speed, -float(state.cube_linvel[2]))
+        # free fall over ~6.4 cm before contact -> ~1.1 m/s peak approach
+        assert max_speed > 0.9, f"fall speed capped at {max_speed}"
+
+    def test_torsional_friction_damps_spin(self, step_fn):
+        """A cube spinning about z on its face spins down faster with a
+        larger torsional coefficient (reference object torsion_friction,
+        trifinger_env.py:932-937)."""
+        state = PhysicsState.default(()).replace(
+            cube_pos=jnp.array([0.0, 0.0, 0.0325]),
+            cube_angvel=jnp.array([0.0, 0.0, 4.0]),
+            q=jnp.tile(jnp.asarray(tf_model.JOINT_POS_DEFAULT), 3),
+        )
+        tau_g = gravity_hold_torque()
+
+        def final_spin(mu_torsion):
+            params = SceneParams.default().replace(
+                mu_torsion=jnp.asarray(mu_torsion),
+                # corner tangential friction also damps spin; zero it so the
+                # torsional channel is isolated
+                mu_cube_ground=jnp.asarray(0.0),
+            )
+            s = state
+            for _ in range(30):
+                s, _ = step_fn(s, tau_g, params)
+            return float(s.cube_angvel[2])
+
+        w_no = final_spin(0.0)
+        w_tor = final_spin(0.5)
+        assert w_no > 2.0, w_no  # only air damping acts without torsion
+        assert w_tor < 0.5, w_tor  # torsional impulses spin the cube down
+
+    def test_tip_stopped_by_wall(self, step_fn):
+        """A finger driven outward is stopped by the arena boundary at
+        rho <= wall_radius - tip_radius (new tip-vs-wall pair)."""
+        from leibnizgym_tpu.ops.engine import _finger_precompute, _TIP_LOCAL_OFFSET
+
+        params = SceneParams.default()
+        state = PhysicsState.default(()).replace(
+            cube_pos=jnp.array([-0.12, 0.0, 0.0325]),  # out of the way
+            q=jnp.tile(jnp.asarray(tf_model.JOINT_POS_DEFAULT), 3),
+        )
+        # drive finger 0 outward hard (joint 1 swings the finger out)
+        tau = jnp.zeros(9).at[0].set(0.36).at[1].set(-0.36)
+        max_rho = 0.0
+        for _ in range(100):
+            state, _ = step_fn(state, tau, params)
+            pre = _finger_precompute(state.q.reshape(3, 3), params)
+            tip = np.asarray(pre.tip_pos_w[0] + _TIP_LOCAL_OFFSET)
+            max_rho = max(max_rho, float(np.hypot(tip[0], tip[1])))
+        limit = float(params.wall_radius) - float(params.tip_radius)
+        assert max_rho <= limit + 0.005, (max_rho, limit)
+
+    def test_lower_link_blocks_cube(self, step_fn):
+        """The lower-link shaft collides with the cube: a cube thrown at a
+        raised forearm bounces back instead of passing through (new
+        link-vs-cube pair; reference collides the full finger V-HACD meshes)."""
+        from leibnizgym_tpu.ops.engine import _finger_precompute
+
+        params = SceneParams.default()
+        # pose finger 0 with the forearm hanging across the cube's path
+        q0 = jnp.array([0.0, 0.2, -1.4])
+        state = PhysicsState.default(()).replace(
+            q=jnp.concatenate([q0, jnp.asarray(tf_model.JOINT_POS_DEFAULT),
+                               jnp.asarray(tf_model.JOINT_POS_DEFAULT)]),
+        )
+        pre = _finger_precompute(state.q.reshape(3, 3), params)
+        samp = np.asarray(pre.samp_pos_w[0])  # (S, 3) shaft sample centers
+        target = samp.mean(axis=0)
+        # launch the cube straight at the shaft mid-point from outside
+        start = target + np.array([0.9, 0.0, 0.0]) * 0.12
+        vel = (target - start) / np.linalg.norm(target - start) * 1.2
+        state = state.replace(
+            cube_pos=jnp.asarray(start.astype(np.float32)),
+            cube_linvel=jnp.asarray(vel.astype(np.float32)),
+        )
+        # hold the finger pose stiffly via strong PD-like gravity hold
+        tau = jnp.zeros(9)
+        passed_through = False
+        for _ in range(40):
+            state, _ = step_fn(state, tau, params)
+            # relative to the launch axis: did the cube travel past the shaft?
+            along = float((np.asarray(state.cube_pos) - target) @ np.array([0.9, 0.0, 0.0]))
+            if along < -0.05:
+                passed_through = True
+        assert not passed_through, "cube tunneled through the lower link"
 
     def test_no_nans_under_stress(self, step_fn):
         params = SceneParams.default()
