@@ -119,10 +119,13 @@ def contact_target(
     bounce_threshold: jax.Array,
     h: float,
     cfg: SolverConfig,
+    bias_cap: float | None = None,
 ) -> jax.Array:
     """Velocity target for the normal constraint.
 
-    Penetrating: Baumgarte bias beta/h * (depth - slop).
+    Penetrating: Baumgarte bias beta/h * (depth - slop), optionally capped at
+                 ``bias_cap`` m/s (finger-only contacts; see
+                 SolverConfig.finger_bias_cap).
     Separated:   speculative -gap/h (may approach but not tunnel past contact).
     Restitution: -e * v_n0 when impact speed exceeds the bounce threshold AND
                  the pair is predicted to touch within this substep
@@ -131,9 +134,12 @@ def contact_target(
                  phantom impulse at a distance (PhysX applies restitution to
                  speculative contacts only once they are predicted to touch).
     """
+    pen_bias = cfg.baumgarte / h * jnp.maximum(depth - cfg.contact_slop, 0.0)
+    if bias_cap is not None:
+        pen_bias = jnp.minimum(pen_bias, bias_cap)
     bias = jnp.where(
         depth > 0.0,
-        cfg.baumgarte / h * jnp.maximum(depth - cfg.contact_slop, 0.0),
+        pen_bias,
         depth / h,  # negative: allowed approach speed closes the gap exactly
     )
     # restitution can only RAISE the target, and only on real impacts —

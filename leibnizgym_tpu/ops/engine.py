@@ -251,12 +251,14 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
     )(c_depth, c_vn0)
     d_target = jax.vmap(
         lambda depth, vn0: contact_target(
-            depth, vn0, params.restitution_tip_ground, params.bounce_threshold, h, cfg
+            depth, vn0, params.restitution_tip_ground, params.bounce_threshold,
+            h, cfg, bias_cap=cfg.finger_bias_cap,
         )
     )(d_depth, d_vn0)
     e_target = jax.vmap(
         lambda depth, vn0: contact_target(
-            depth, vn0, params.restitution_tip_wall, params.bounce_threshold, h, cfg
+            depth, vn0, params.restitution_tip_wall, params.bounce_threshold,
+            h, cfg, bias_cap=cfg.finger_bias_cap,
         )
     )(e_depth, e_vn0)
     f_target = [
@@ -287,12 +289,22 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
         k_cube_dir(c_r[f], c_t[1][f]) + c_t[1][f] @ pre.a_tip[f] @ c_t[1][f]
         for f in range(3)
     ])
-    d_wn = jnp.stack([pre.a_tip[f][2, 2] for f in range(3)])
-    d_wt1 = jnp.stack([pre.a_tip[f][0, 0] for f in range(3)])
-    d_wt2 = jnp.stack([pre.a_tip[f][1, 1] for f in range(3)])
-    e_wn = jnp.stack([e_n[f] @ pre.a_tip[f] @ e_n[f] for f in range(3)])
-    e_wt1 = jnp.stack([e_t[0][f] @ pre.a_tip[f] @ e_t[0][f] for f in range(3)])
-    e_wt2 = jnp.stack([e_t[1][f] @ pre.a_tip[f] @ e_t[1][f] for f in range(3)])
+    # groups D and E act on the finger alone, so their effective inverse mass
+    # J M^-1 J^T can hit the kinematic singularity (fully extended finger at
+    # the arena wall: ~1e-9..0) and explode the PGS impulse — floor at
+    # cfg.w_min (max(w, w_min) keeps non-singular dynamics bit-identical)
+    d_wn = jnp.stack([jnp.maximum(pre.a_tip[f][2, 2], cfg.w_min) for f in range(3)])
+    d_wt1 = jnp.stack([jnp.maximum(pre.a_tip[f][0, 0], cfg.w_min) for f in range(3)])
+    d_wt2 = jnp.stack([jnp.maximum(pre.a_tip[f][1, 1], cfg.w_min) for f in range(3)])
+    e_wn = jnp.stack([
+        jnp.maximum(e_n[f] @ pre.a_tip[f] @ e_n[f], cfg.w_min) for f in range(3)
+    ])
+    e_wt1 = jnp.stack([
+        jnp.maximum(e_t[0][f] @ pre.a_tip[f] @ e_t[0][f], cfg.w_min) for f in range(3)
+    ])
+    e_wt2 = jnp.stack([
+        jnp.maximum(e_t[1][f] @ pre.a_tip[f] @ e_t[1][f], cfg.w_min) for f in range(3)
+    ])
 
     def f_w(f, s, d):
         return k_cube_dir(f_r[f][s], d) + d @ pre.samp_a[f, s] @ d

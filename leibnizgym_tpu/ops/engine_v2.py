@@ -283,12 +283,12 @@ def _tangent_basis_s(n):
     return t1, t2
 
 
-def _contact_target_s(depth, v_n0, restitution, bounce_threshold, h, cfg):
-    bias = jnp.where(
-        depth > 0.0,
-        cfg.baumgarte / h * jnp.maximum(depth - cfg.contact_slop, 0.0),
-        depth / h,
-    )
+def _contact_target_s(depth, v_n0, restitution, bounce_threshold, h, cfg,
+                      bias_cap=None):
+    pen_bias = cfg.baumgarte / h * jnp.maximum(depth - cfg.contact_slop, 0.0)
+    if bias_cap is not None:
+        pen_bias = jnp.minimum(pen_bias, bias_cap)
+    bias = jnp.where(depth > 0.0, pen_bias, depth / h)
     # restitution gated on predicted touch within the substep (see
     # contact.contact_target)
     touching = depth - v_n0 * h > 0.0
@@ -487,11 +487,16 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
         depth = params.tip_radius - center[2]
         u = _tip_point_vel(fingers[f], qd_f[f])
         target = _contact_target_s(
-            depth, u[2], params.restitution_tip_ground, params.bounce_threshold, h, cfg
+            depth, u[2], params.restitution_tip_ground, params.bounce_threshold,
+            h, cfg, bias_cap=cfg.finger_bias_cap,
         )
         at = fingers[f].a_tip
+        # finger-only contact: J M^-1 J^T can be singular (see cfg.w_min)
         d_contacts.append(
-            dict(target=target, wn=at[2][2], wt1=at[0][0], wt2=at[1][1])
+            dict(target=target,
+                 wn=jnp.maximum(at[2][2], cfg.w_min),
+                 wt1=jnp.maximum(at[0][0], cfg.w_min),
+                 wt2=jnp.maximum(at[1][1], cfg.w_min))
         )
 
     # ---- group E: tip spheres vs arena wall -------------------------------
@@ -506,12 +511,14 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
         u = _tip_point_vel(fingers[f], qd_f[f])
         target = _contact_target_s(
             depth, v3_dot(u, n), params.restitution_tip_wall,
-            params.bounce_threshold, h, cfg,
+            params.bounce_threshold, h, cfg, bias_cap=cfg.finger_bias_cap,
         )
         at = fingers[f].a_tip
 
         def w_dir(d, at=at):
-            return v3_dot(d, m3_matvec(at, d))
+            # finger-only contact: floored at cfg.w_min — the radial direction
+            # is exactly the fully-extended singular direction at the wall
+            return jnp.maximum(v3_dot(d, m3_matvec(at, d)), cfg.w_min)
 
         e_contacts.append(
             dict(n=n, t1=t1, t2=t2, target=target, center=center,

@@ -177,6 +177,20 @@ class SolverConfig:
     solver_iterations: int = struct.field(pytree_node=False, default=8)
     baumgarte: float = struct.field(pytree_node=False, default=0.2)
     contact_slop: float = struct.field(pytree_node=False, default=0.001)
+    # Floor on the effective inverse mass (J M^-1 J^T projected on the
+    # contact direction) of finger-only contacts (tip-ground, tip-wall).
+    # At a kinematic singularity (finger fully extended pressing the arena
+    # wall) the projection reaches ~1e-9..0 and the PGS impulse
+    # (target-u)/w explodes to inf/NaN; the floor makes such contacts soft
+    # instead (max effective contact mass = 1/w_min kg). Applied as
+    # max(w, w_min), so non-singular dynamics are bit-identical.
+    w_min: float = struct.field(pytree_node=False, default=0.05)
+    # Cap on the Baumgarte depenetration velocity of finger-only contacts
+    # (m/s). Deep tip penetration of the wall only arises through the
+    # singular configuration above; an uncapped bias (depth/h-scaled) then
+    # demands ~8 m/s and kicks the finger violently. Binds only beyond
+    # ~25 mm penetration at the default baumgarte factor.
+    finger_bias_cap: float = struct.field(pytree_node=False, default=2.0)
     joint_limit_lower: tuple = struct.field(
         pytree_node=False,
         default=tuple(np.tile(tf_model.JOINT_POS_LOW, 3).tolist()),

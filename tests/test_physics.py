@@ -366,6 +366,38 @@ class TestContacts:
         assert abs(float(jnp.linalg.norm(state.cube_quat)) - 1.0) < 1e-4
 
 
+class TestSingularContacts:
+    """Finger-only contacts (tip-ground, tip-wall) at the kinematic
+    singularity: a fully extended finger pressing the arena wall makes
+    n^T (J M^-1 J^T) n -> ~1e-9, and an unfloored PGS impulse
+    (target - u)/w explodes to inf/NaN (the round-2 difficulty-4 training
+    NaN at epoch 52). cfg.w_min floors the effective inverse mass and
+    cfg.finger_bias_cap bounds the depenetration kick."""
+
+    @pytest.mark.parametrize("engine", ["reference", "soa"])
+    def test_extended_finger_at_wall_stays_finite(self, engine):
+        from leibnizgym_tpu.ops.engine_v2 import physics_step_v2
+
+        stepper = physics_step if engine == "reference" else physics_step_v2
+        cfg = SolverConfig()
+        params = SceneParams.default()
+        fast = jax.jit(lambda s, t: stepper(s, t, params, cfg, 0.02))
+        # outward torque drives the finger into full extension against the
+        # wall; sweep configurations straddling the singular q2 limit
+        for q2 in (1.40, 1.55, 1.57):
+            state = PhysicsState.default(()).replace(
+                q=jnp.array([-0.0636, q2, -0.02, 0.0, 0.9, -1.7, 0.0, 0.9, -1.7]),
+                cube_pos=jnp.array([0.0, 0.0, 0.0325]),
+            )
+            tau = jnp.array([0.0, 0.36, 0.36, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+            for _ in range(60):
+                state, _ = fast(state, tau)
+            for leaf in jax.tree_util.tree_leaves(state):
+                assert bool(jnp.isfinite(leaf).all()), (engine, q2)
+            # velocity-limit clamp must also have contained the kick
+            assert float(jnp.max(jnp.abs(state.qd))) <= 10.0 + 1e-5
+
+
 class TestEngineEquivalence:
     """The SoA hot-path engine must match the readable reference engine."""
 
