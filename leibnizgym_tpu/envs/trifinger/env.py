@@ -213,9 +213,20 @@ def build_static(config: dict) -> EnvStatic:
             f"Invalid engine: {engine!r} not in ['soa', 'pallas', 'reference']."
         )
     specs = build_reward_specs(config["reward_terms"])
+    # The reference's PhysX solver_type 1 + 8 position iterations
+    # (rlg_hydra.py:27-29) maps onto the validated velocity-level PGS +
+    # Baumgarte by default; sim.physx.tpu_solver selects the true TGS
+    # position-iteration mode ("tgs") instead. Kept opt-in until a training
+    # regression run validates flipping the default.
+    tpu_solver = str(sim["physx"].get("tpu_solver", "pgs"))
+    if tpu_solver not in ("pgs", "tgs"):
+        raise ValueError(
+            f"Invalid sim.physx.tpu_solver: {tpu_solver!r} not in ['pgs', 'tgs']."
+        )
     solver = SolverConfig(
         substeps=int(sim["substeps"]),
         solver_iterations=int(sim["physx"]["num_position_iterations"]),
+        solver_type=1 if tpu_solver == "tgs" else 0,
     )
     return EnvStatic(
         num_envs=int(config["num_instances"]),

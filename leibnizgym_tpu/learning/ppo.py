@@ -81,6 +81,9 @@ class PPOConfig:
     # the matmuls on the MXU fast path; params and the policy math (neglogp,
     # KL, losses) stay float32 either way
     network_dtype: str = "float32"
+    # emit per-stage finiteness flags + magnitudes (nan/* metrics) to locate
+    # the first non-finite tensor in the rollout->GAE->update pipeline
+    nan_telemetry: bool = False
 
     @classmethod
     def from_rlg_params(cls, params: dict, num_actors: int) -> "PPOConfig":
@@ -123,6 +126,7 @@ class PPOConfig:
                 if (c.get("mixed_precision") or c.get("network_dtype") == "bfloat16")
                 else "float32"
             ),
+            nan_telemetry=bool(c.get("nan_telemetry", False)),
         )
 
 
@@ -371,7 +375,10 @@ def train_iteration(
                            jnp.maximum(lr / 1.5, cfg.min_lr), lr)
             lr = jnp.where(kl < 0.5 * cfg.kl_threshold,
                            jnp.minimum(lr * 1.5, cfg.max_lr), lr)
-        return (ac_params, opt_state, lr, key), (total, a_loss, c_loss, entropy, kl)
+        mb_out = (total, a_loss, c_loss, entropy, kl)
+        if cfg.nan_telemetry:
+            mb_out = mb_out + (optax.global_norm(grads),)
+        return (ac_params, opt_state, lr, key), mb_out
 
     ac_params, ac_opt_state, lr = ts.ac_params, ts.ac_opt_state, ts.lr
     metrics_acc = []
@@ -387,9 +394,19 @@ def train_iteration(
         )
         metrics_acc.append(ep_metrics)
 
-    total_l, a_l, c_l, ent, kl = jax.tree.map(
-        lambda *xs: jnp.mean(jnp.stack(xs)), *metrics_acc
-    )
+    if cfg.nan_telemetry:
+        total_l, a_l, c_l, ent, kl, gnorms = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *metrics_acc
+        )
+        kl_per_mb = kl  # (mini_epochs, num_mb) — locate the first nan update
+        total_l, a_l, c_l, ent, kl = (
+            jnp.mean(total_l), jnp.mean(a_l), jnp.mean(c_l), jnp.mean(ent),
+            jnp.mean(kl),
+        )
+    else:
+        total_l, a_l, c_l, ent, kl = jax.tree.map(
+            lambda *xs: jnp.mean(jnp.stack(xs)), *metrics_acc
+        )
 
     # ---------------- central value training ---------------------------------
     cv_params, cv_opt_state = ts.cv_params, ts.cv_opt_state
@@ -460,4 +477,38 @@ def train_iteration(
         "episodes/finished_n": fin_n,
         **last_info,
     }
+    if cfg.nan_telemetry:
+        def _fin(x):
+            return jnp.isfinite(x).all().astype(jnp.float32)
+
+        def _amax(x):
+            return jnp.max(jnp.abs(x))
+
+        es_leaves = [
+            leaf for leaf in jax.tree_util.tree_leaves(env_state)
+            if jnp.issubdtype(leaf.dtype, jnp.inexact)
+        ]
+        metrics.update({
+            "nan/obs_fin": _fin(b_obs), "nan/obs_max": _amax(b_obs),
+            "nan/states_fin": _fin(b_states), "nan/states_max": _amax(b_states),
+            "nan/act_fin": _fin(b_action), "nan/act_max": _amax(b_action),
+            "nan/rew_fin": _fin(b_reward), "nan/rew_max": _amax(b_reward),
+            "nan/val_fin": _fin(b_value), "nan/val_max": _amax(b_value),
+            "nan/neglogp_max": _amax(b_neglogp),
+            "nan/logstd_min": jnp.min(b_log_std),
+            "nan/logstd_max": jnp.max(b_log_std),
+            "nan/envstate_fin": jnp.stack(
+                [jnp.isfinite(le).all() for le in es_leaves]
+            ).all().astype(jnp.float32),
+            "nan/adv_fin": _fin(f_advs), "nan/adv_max": _amax(f_advs),
+            "nan/ret_max": _amax(f_returns),
+            "nan/grad_fin": _fin(gnorms), "nan/grad_max": _amax(gnorms),
+            "nan/kl_mb_fin": _fin(kl_per_mb),
+            # index of the first non-finite minibatch kl (flat), -1 if none
+            "nan/kl_first_bad": jnp.where(
+                jnp.isfinite(kl_per_mb).all(), -1.0,
+                jnp.argmax(~jnp.isfinite(kl_per_mb.reshape(-1))).astype(jnp.float32),
+            ),
+            "nan/params_fin": _fin(optax.global_norm(ac_params)),
+        })
     return new_ts, metrics

@@ -275,6 +275,21 @@ class Runner:
                     f">= {cfg.score_to_win}); stopping early"
                 )
                 break
+            if not np.isfinite(float(metrics["info/kl"])):
+                # params are garbage once kl is non-finite — halt instead of
+                # burning the chip. nan/* telemetry (config nan_telemetry)
+                # locates the first bad pipeline stage.
+                from leibnizgym_tpu.utils import print_error
+
+                print_error(
+                    f"non-finite kl at epoch {epoch}; halting. "
+                    + " ".join(
+                        f"{k}={float(v):.3g}" for k, v in sorted(metrics.items())
+                        if k.startswith("nan/")
+                    )
+                )
+                self.save("nan_halt")
+                break
         self.save("final")
         total = time.time() - t_start
         print_notify(

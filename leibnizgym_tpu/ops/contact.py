@@ -142,11 +142,27 @@ def contact_target(
         pen_bias,
         depth / h,  # negative: allowed approach speed closes the gap exactly
     )
+    return jnp.maximum(bias, restitution_target(
+        depth, v_n0, restitution, bounce_threshold, h
+    ))
+
+
+def restitution_target(
+    depth: jax.Array,
+    v_n0: jax.Array,
+    restitution: jax.Array,
+    bounce_threshold: jax.Array,
+    h: float,
+) -> jax.Array:
+    """Restitution part of the normal velocity target (-inf when inactive).
+
+    Shared by the PGS target above and the TGS mode, whose positional bias
+    is recomputed every solver iteration from the integrated depth while the
+    restitution target stays fixed at the substep-start impact velocity."""
     # restitution can only RAISE the target, and only on real impacts —
     # a plain maximum(bias, 0) here would forbid approach velocity on
     # separated contacts and freeze bodies in mid-air.
     touching = depth - v_n0 * h > 0.0
-    rest = jnp.where(
+    return jnp.where(
         (v_n0 < -bounce_threshold) & touching, -restitution * v_n0, -jnp.inf
     )
-    return jnp.maximum(bias, rest)

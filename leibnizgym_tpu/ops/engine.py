@@ -31,6 +31,7 @@ from leibnizgym_tpu.ops.contact import (
     closest_point_on_box,
     contact_target,
     cube_body,
+    restitution_target,
     solve_contact_friction,
     solve_contact_normal,
 )
@@ -324,9 +325,48 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
     c_ws = jnp.stack([k_spin(c_n[f]) for f in range(3)])
     mu_tor_r = params.mu_torsion * params.torsion_patch_radius
 
+    # ---- TGS mode (solver_type 1): per-iteration mini-steps ---------------
+    # Each solver iteration integrates contact depths with the evolving
+    # normal velocities (d -= u_n * h_it) and recomputes the positional bias
+    # from the live depth, correcting penetration geometrically. The
+    # restitution part of the target stays fixed at the substep-start impact
+    # velocity. solver_type 0 keeps the classic precomputed targets.
+    tgs = cfg.solver_type == 1
+    h_it = h / cfg.solver_iterations
+    if tgs:
+        def rest_of(depth, vn0, e):
+            return restitution_target(
+                depth, vn0, e, params.bounce_threshold, h
+            )
+
+        a_rest = jax.vmap(lambda d, u: rest_of(d, u, params.restitution_cube_ground))(a_depth, a_vn0)
+        b_rest = jax.vmap(lambda d, u: rest_of(d, u, jnp.asarray(0.0)))(b_depth, b_vn0)
+        c_rest = jax.vmap(lambda d, u: rest_of(d, u, params.restitution_tip_cube))(c_depth, c_vn0)
+        d_rest = jax.vmap(lambda d, u: rest_of(d, u, params.restitution_tip_ground))(d_depth, d_vn0)
+        e_rest = jax.vmap(lambda d, u: rest_of(d, u, params.restitution_tip_wall))(e_depth, e_vn0)
+        f_rest = jnp.stack([
+            jnp.stack([
+                rest_of(f_depth[f][s], f_vn0[f][s], params.restitution_link_cube)
+                for s in range(_S)
+            ])
+            for f in range(3)
+        ])
+
+    def tgs_target(d, rest, it, bias_cap=None):
+        pen = cfg.tgs_bias / h_it * jnp.maximum(d - cfg.contact_slop, 0.0)
+        if bias_cap is not None:
+            pen = jnp.minimum(pen, bias_cap)
+        h_rem = h - it * h_it  # speculative approach budget = remaining time
+        bias = jnp.where(d > 0.0, pen, d / h_rem)
+        return jnp.maximum(bias, rest)
+
     # ---- projected Gauss-Seidel sweeps -----------------------------------
-    def sweep(_, carry):
-        v, w, qd_f, lam = carry
+    def sweep(it, carry):
+        if tgs:
+            v, w, qd_f, lam, dep, poses = carry
+            a_d, b_d, c_d, d_d, e_d, f_d = dep
+        else:
+            v, w, qd_f, lam = carry
         (a_ln, a_l1, a_l2, a_lt, b_ln, b_l1, b_l2, b_lt,
          c_ln, c_l1, c_l2, c_lt, d_ln, d_l1, d_l2,
          e_ln, e_l1, e_l2, f_ln, f_l1, f_l2) = lam
@@ -335,13 +375,16 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
         for i in range(8):
             r = a_r[i]
             u = v + jnp.cross(w, r)
-            d_lam, nl = solve_contact_normal(u @ ground_n, a_target[i], a_wn[i], a_ln[i])
+            tgt = tgs_target(a_d[i], a_rest[i], it) if tgs else a_target[i]
+            d_lam, nl = solve_contact_normal(u @ ground_n, tgt, a_wn[i], a_ln[i])
             a_ln = a_ln.at[i].set(nl)
             p = d_lam * ground_n
             v = v + body.inv_mass * p
             w = w + body.inv_inertia_w @ jnp.cross(r, p)
             mu_l = params.mu_cube_ground * nl
             u = v + jnp.cross(w, r)
+            if tgs:
+                a_d = a_d.at[i].add(-(u @ ground_n) * h_it)
             d_lam, t1l = solve_contact_friction(u @ a_t1, a_wt1[i], a_l1[i], mu_l)
             a_l1 = a_l1.at[i].set(t1l)
             p = d_lam * a_t1
@@ -364,11 +407,15 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
         for i in range(8):
             r, n = b_r[i], b_n[i]
             u = v + jnp.cross(w, r)
-            d_lam, nl = solve_contact_normal(u @ n, b_target[i], b_wn[i], b_ln[i])
+            tgt = tgs_target(b_d[i], b_rest[i], it) if tgs else b_target[i]
+            d_lam, nl = solve_contact_normal(u @ n, tgt, b_wn[i], b_ln[i])
             b_ln = b_ln.at[i].set(nl)
             p = d_lam * n
             v = v + body.inv_mass * p
             w = w + body.inv_inertia_w @ jnp.cross(r, p)
+            if tgs:
+                u = v + jnp.cross(w, r)
+                b_d = b_d.at[i].add(-(u @ n) * h_it)
             mu_l = params.mu_cube_wall * nl
             for t_vec, w_t, lam_arr, set_back in (
                 (b_t[0][i], b_wt1[i], b_l1, 0),
@@ -391,12 +438,16 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
         for f in range(3):
             r, n = c_r[f], c_n[f]
             u = (v + jnp.cross(w, r)) - pre.jac_w[f] @ qd_f[f]
-            d_lam, nl = solve_contact_normal(u @ n, c_target[f], c_wn[f], c_ln[f])
+            tgt = tgs_target(c_d[f], c_rest[f], it) if tgs else c_target[f]
+            d_lam, nl = solve_contact_normal(u @ n, tgt, c_wn[f], c_ln[f])
             c_ln = c_ln.at[f].set(nl)
             p = d_lam * n
             v = v + body.inv_mass * p
             w = w + body.inv_inertia_w @ jnp.cross(r, p)
             qd_f = qd_f.at[f].add(-(pre.minv_jt[f] @ p))
+            if tgs:
+                u = (v + jnp.cross(w, r)) - pre.jac_w[f] @ qd_f[f]
+                c_d = c_d.at[f].add(-(u @ n) * h_it)
             mu_l = params.mu_tip_cube * nl
             for which in (0, 1):
                 t_vec = c_t[which][f]
@@ -422,14 +473,19 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
             for s in range(_S):
                 r, n = f_r[f][s], f_n[f][s]
                 u = (v + jnp.cross(w, r)) - pre.samp_jac_w[f, s] @ qd_f[f]
+                tgt = (tgs_target(f_d[f, s], f_rest[f, s], it)
+                       if tgs else f_target[f][s])
                 d_lam, nl = solve_contact_normal(
-                    u @ n, f_target[f][s], f_wn[f][s], f_ln[f, s]
+                    u @ n, tgt, f_wn[f][s], f_ln[f, s]
                 )
                 f_ln = f_ln.at[f, s].set(nl)
                 p = d_lam * n
                 v = v + body.inv_mass * p
                 w = w + body.inv_inertia_w @ jnp.cross(r, p)
                 qd_f = qd_f.at[f].add(-(pre.samp_minv_jt[f, s] @ p))
+                if tgs:
+                    u = (v + jnp.cross(w, r)) - pre.samp_jac_w[f, s] @ qd_f[f]
+                    f_d = f_d.at[f, s].add(-(u @ n) * h_it)
                 mu_l = params.mu_link_cube * nl
                 for which in (0, 1):
                     t_vec = f_t[f][s][which]
@@ -452,11 +508,15 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
         ez = jnp.array([0.0, 0.0, 1.0])
         for f in range(3):
             u = pre.jac_w[f] @ qd_f[f]
-            d_lam, nl = solve_contact_normal(u[2], d_target[f], d_wn[f], d_ln[f])
+            tgt = (tgs_target(d_d[f], d_rest[f], it, bias_cap=cfg.finger_bias_cap)
+                   if tgs else d_target[f])
+            d_lam, nl = solve_contact_normal(u[2], tgt, d_wn[f], d_ln[f])
             d_ln = d_ln.at[f].set(nl)
             qd_f = qd_f.at[f].add(pre.minv_jt[f] @ (d_lam * ez))
             mu_l = params.mu_tip_ground * nl
             u = pre.jac_w[f] @ qd_f[f]
+            if tgs:
+                d_d = d_d.at[f].add(-u[2] * h_it)
             d_lam, t1l = solve_contact_friction(u[0], d_wt1[f], d_l1[f], mu_l)
             d_l1 = d_l1.at[f].set(t1l)
             qd_f = qd_f.at[f].add(pre.minv_jt[f] @ (d_lam * ex))
@@ -469,9 +529,14 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
         for f in range(3):
             n = e_n[f]
             u = pre.jac_w[f] @ qd_f[f]
-            d_lam, nl = solve_contact_normal(u @ n, e_target[f], e_wn[f], e_ln[f])
+            tgt = (tgs_target(e_d[f], e_rest[f], it, bias_cap=cfg.finger_bias_cap)
+                   if tgs else e_target[f])
+            d_lam, nl = solve_contact_normal(u @ n, tgt, e_wn[f], e_ln[f])
             e_ln = e_ln.at[f].set(nl)
             qd_f = qd_f.at[f].add(pre.minv_jt[f] @ (d_lam * n))
+            if tgs:
+                u = pre.jac_w[f] @ qd_f[f]
+                e_d = e_d.at[f].add(-(u @ n) * h_it)
             mu_l = params.mu_tip_wall * nl
             for which in (0, 1):
                 t_vec = e_t[which][f]
@@ -485,9 +550,20 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
                     e_l2 = e_l2.at[f].set(tl)
                 qd_f = qd_f.at[f].add(pre.minv_jt[f] @ (d_lam * t_vec))
 
-        return v, w, qd_f, (a_ln, a_l1, a_l2, a_lt, b_ln, b_l1, b_l2, b_lt,
-                            c_ln, c_l1, c_l2, c_lt, d_ln, d_l1, d_l2,
-                            e_ln, e_l1, e_l2, f_ln, f_l1, f_l2)
+        new_lam = (a_ln, a_l1, a_l2, a_lt, b_ln, b_l1, b_l2, b_lt,
+                   c_ln, c_l1, c_l2, c_lt, d_ln, d_l1, d_l2,
+                   e_ln, e_l1, e_l2, f_ln, f_l1, f_l2)
+        if tgs:
+            # mini-step pose integration: positions genuinely move each
+            # iteration (true TGS); contact frames/jacobians stay frozen at
+            # substep start (first-order) while depths integrate alongside
+            p_pos, p_quat, p_q = poses
+            p_pos = p_pos + h_it * v
+            p_quat = quat_integrate(p_quat, w, h_it)
+            p_q = p_q + h_it * qd_f
+            return (v, w, qd_f, new_lam, (a_d, b_d, c_d, d_d, e_d, f_d),
+                    (p_pos, p_quat, p_q))
+        return v, w, qd_f, new_lam
 
     zeros8 = jnp.zeros(8)
     zeros3 = jnp.zeros(3)
@@ -495,9 +571,19 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
     lam0 = (zeros8, zeros8, zeros8, zeros8, zeros8, zeros8, zeros8, zeros8,
             zeros3, zeros3, zeros3, zeros3, zeros3, zeros3, zeros3,
             zeros3, zeros3, zeros3, zeros3s, zeros3s, zeros3s)
-    v, w, qd_f, lam = jax.lax.fori_loop(
-        0, cfg.solver_iterations, sweep, (v, w, qd_f, lam0)
-    )
+    if tgs:
+        f_dep0 = jnp.stack([
+            jnp.stack([f_depth[f][s] for s in range(_S)]) for f in range(3)
+        ])
+        dep0 = (a_depth, b_depth, c_depth, d_depth, e_depth, f_dep0)
+        poses0 = (state.cube_pos, state.cube_quat, q_f)
+        v, w, qd_f, lam, _, tgs_poses = jax.lax.fori_loop(
+            0, cfg.solver_iterations, sweep, (v, w, qd_f, lam0, dep0, poses0)
+        )
+    else:
+        v, w, qd_f, lam = jax.lax.fori_loop(
+            0, cfg.solver_iterations, sweep, (v, w, qd_f, lam0)
+        )
 
     # ---- fingertip contact impulses (force/torque sensing) ----------------
     # Reconstructed from the converged accumulators — the net impulse each tip
@@ -525,7 +611,8 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
     )
 
     # ---- position integration + limits -----------------------------------
-    q_new = (q_f + h * qd_f).reshape(9)
+    # (TGS already integrated poses inside the mini-step loop)
+    q_new = (tgs_poses[2].reshape(9) if tgs else (q_f + h * qd_f).reshape(9))
     lower = jnp.asarray(cfg.joint_limit_lower)
     upper = jnp.asarray(cfg.joint_limit_upper)
     q_clamped = jnp.clip(q_new, lower, upper)
@@ -542,8 +629,8 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
     new_state = PhysicsState(
         q=q_clamped,
         qd=qd9,
-        cube_pos=state.cube_pos + h * v,
-        cube_quat=quat_integrate(state.cube_quat, w, h),
+        cube_pos=tgs_poses[0] if tgs else state.cube_pos + h * v,
+        cube_quat=tgs_poses[1] if tgs else quat_integrate(state.cube_quat, w, h),
         cube_linvel=v,
         cube_angvel=w,
     )

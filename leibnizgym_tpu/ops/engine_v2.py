@@ -289,13 +289,18 @@ def _contact_target_s(depth, v_n0, restitution, bounce_threshold, h, cfg,
     if bias_cap is not None:
         pen_bias = jnp.minimum(pen_bias, bias_cap)
     bias = jnp.where(depth > 0.0, pen_bias, depth / h)
-    # restitution gated on predicted touch within the substep (see
-    # contact.contact_target)
+    return jnp.maximum(
+        bias, _restitution_target_s(depth, v_n0, restitution, bounce_threshold, h)
+    )
+
+
+def _restitution_target_s(depth, v_n0, restitution, bounce_threshold, h):
+    """Restitution part of the target, gated on predicted touch within the
+    substep (see contact.restitution_target); -inf when inactive."""
     touching = depth - v_n0 * h > 0.0
-    rest = jnp.where(
+    return jnp.where(
         (v_n0 < -bounce_threshold) & touching, -restitution * v_n0, -jnp.inf
     )
-    return jnp.maximum(bias, rest)
 
 
 def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
@@ -376,7 +381,10 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
             depth, vn0, params.restitution_cube_ground, params.bounce_threshold, h, cfg
         )
         a_contacts.append(
-            dict(r=r, target=target,
+            dict(r=r, target=target, depth=depth,
+                 rest=_restitution_target_s(
+                     depth, vn0, params.restitution_cube_ground,
+                     params.bounce_threshold, h),
                  wn=k_cube_dir(r, ez), wt1=k_cube_dir(r, a_t1), wt2=k_cube_dir(r, a_t2))
         )
 
@@ -396,7 +404,10 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
             depth, v3_dot(u, n), jnp.asarray(0.0), params.bounce_threshold, h, cfg
         )
         b_contacts.append(
-            dict(r=r, n=n, t1=t1, t2=t2, target=target,
+            dict(r=r, n=n, t1=t1, t2=t2, target=target, depth=depth,
+                 rest=_restitution_target_s(
+                     depth, v3_dot(u, n), jnp.asarray(0.0),
+                     params.bounce_threshold, h),
                  wn=k_cube_dir(r, n), wt1=k_cube_dir(r, t1), wt2=k_cube_dir(r, t2))
         )
 
@@ -454,6 +465,10 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
 
         c_contacts.append(
             dict(r=r, n=n_w, t1=t1, t2=t2, target=target, point=point,
+                 depth=depth,
+                 rest=_restitution_target_s(
+                     depth, v3_dot(u, n_w), params.restitution_tip_cube,
+                     params.bounce_threshold, h),
                  wn=w_pair(n_w), wt1=w_pair(t1), wt2=w_pair(t2))
         )
 
@@ -475,7 +490,10 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
                 return k_cube_dir(r, d) + v3_dot(d, m3_matvec(a_pt, d))
 
             f_contacts.append(
-                dict(r=r, n=n_w, t1=t1, t2=t2, target=target,
+                dict(r=r, n=n_w, t1=t1, t2=t2, target=target, depth=depth,
+                     rest=_restitution_target_s(
+                         depth, v3_dot(u, n_w), params.restitution_link_cube,
+                         params.bounce_threshold, h),
                      cols=cols, minv_cols=minv_cols,
                      wn=w_pair_s(n_w), wt1=w_pair_s(t1), wt2=w_pair_s(t2))
             )
@@ -493,7 +511,10 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
         at = fingers[f].a_tip
         # finger-only contact: J M^-1 J^T can be singular (see cfg.w_min)
         d_contacts.append(
-            dict(target=target,
+            dict(target=target, depth=depth,
+                 rest=_restitution_target_s(
+                     depth, u[2], params.restitution_tip_ground,
+                     params.bounce_threshold, h),
                  wn=jnp.maximum(at[2][2], cfg.w_min),
                  wt1=jnp.maximum(at[0][0], cfg.w_min),
                  wt2=jnp.maximum(at[1][1], cfg.w_min))
@@ -521,7 +542,10 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
             return jnp.maximum(v3_dot(d, m3_matvec(at, d)), cfg.w_min)
 
         e_contacts.append(
-            dict(n=n, t1=t1, t2=t2, target=target, center=center,
+            dict(n=n, t1=t1, t2=t2, target=target, center=center, depth=depth,
+                 rest=_restitution_target_s(
+                     depth, v3_dot(u, n), params.restitution_tip_wall,
+                     params.bounce_threshold, h),
                  wn=w_dir(n), wt1=w_dir(t1), wt2=w_dir(t2))
         )
 
@@ -554,8 +578,24 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
     def spin_apply(w, n, d_lam):
         return v3_add(w, m3_matvec(inv_i_w, v3_scale(n, d_lam)))
 
-    def sweep(_, carry):
-        v, w, qd0, qd1, qd2, lam = carry
+    # ---- TGS mode (solver_type 1): see engine._substep ---------------------
+    tgs = cfg.solver_type == 1
+    h_it = h / cfg.solver_iterations
+
+    def tgs_target(d, rest, it, bias_cap=None):
+        pen = cfg.tgs_bias / h_it * jnp.maximum(d - cfg.contact_slop, 0.0)
+        if bias_cap is not None:
+            pen = jnp.minimum(pen, bias_cap)
+        h_rem = h - it * h_it  # speculative approach budget = remaining time
+        bias = jnp.where(d > 0.0, pen, d / h_rem)
+        return jnp.maximum(bias, rest)
+
+    def sweep(it, carry):
+        if tgs:
+            v, w, qd0, qd1, qd2, lam, dep, poses = carry
+            (a_d, b_d, c_d, d_d, e_d, f_d) = [list(x) for x in dep]
+        else:
+            v, w, qd0, qd1, qd2, lam = carry
         qds = [qd0, qd1, qd2]
         (a_ln, a_l1, a_l2, a_lt, b_ln, b_l1, b_l2, b_lt,
          c_ln, c_l1, c_l2, c_lt, d_ln, d_l1, d_l2,
@@ -564,10 +604,13 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
         for i, ct in enumerate(a_contacts):
             r = ct["r"]
             u = cube_point_vel(v, w, r)
-            d_lam, a_ln[i] = normal_step(u[2], ct["target"], ct["wn"], a_ln[i])
+            tgt = tgs_target(a_d[i], ct["rest"], it) if tgs else ct["target"]
+            d_lam, a_ln[i] = normal_step(u[2], tgt, ct["wn"], a_ln[i])
             v, w = cube_apply(v, w, r, (z, z, d_lam))
             mu_l = params.mu_cube_ground * a_ln[i]
             u = cube_point_vel(v, w, r)
+            if tgs:
+                a_d[i] = a_d[i] - u[2] * h_it
             d_lam, a_l1[i] = friction_step(u[1], ct["wt1"], a_l1[i], mu_l)
             v, w = cube_apply(v, w, r, (z, d_lam, z))
             u = cube_point_vel(v, w, r)
@@ -579,10 +622,13 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
         for i, ct in enumerate(b_contacts):
             r, n = ct["r"], ct["n"]
             u = cube_point_vel(v, w, r)
-            d_lam, b_ln[i] = normal_step(v3_dot(u, n), ct["target"], ct["wn"], b_ln[i])
+            tgt = tgs_target(b_d[i], ct["rest"], it) if tgs else ct["target"]
+            d_lam, b_ln[i] = normal_step(v3_dot(u, n), tgt, ct["wn"], b_ln[i])
             v, w = cube_apply(v, w, r, v3_scale(n, d_lam))
             mu_l = params.mu_cube_wall * b_ln[i]
             u = cube_point_vel(v, w, r)
+            if tgs:
+                b_d[i] = b_d[i] - v3_dot(u, n) * h_it
             d_lam, b_l1[i] = friction_step(v3_dot(u, ct["t1"]), ct["wt1"], b_l1[i], mu_l)
             v, w = cube_apply(v, w, r, v3_scale(ct["t1"], d_lam))
             u = cube_point_vel(v, w, r)
@@ -596,10 +642,16 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
         for f, ct in enumerate(c_contacts):
             r, n = ct["r"], ct["n"]
             u = v3_sub(cube_point_vel(v, w, r), _tip_point_vel(fingers[f], qds[f]))
-            d_lam, c_ln[f] = normal_step(v3_dot(u, n), ct["target"], ct["wn"], c_ln[f])
+            tgt = tgs_target(c_d[f], ct["rest"], it) if tgs else ct["target"]
+            d_lam, c_ln[f] = normal_step(v3_dot(u, n), tgt, ct["wn"], c_ln[f])
             p = v3_scale(n, d_lam)
             v, w = cube_apply(v, w, r, p)
             qds[f] = _apply_tip_impulse(fingers[f], qds[f], p, -1.0)
+            if tgs:
+                u = v3_sub(
+                    cube_point_vel(v, w, r), _tip_point_vel(fingers[f], qds[f])
+                )
+                c_d[f] = c_d[f] - v3_dot(u, n) * h_it
             mu_l = params.mu_tip_cube * c_ln[f]
             for which in (0, 1):
                 t_vec = ct["t1"] if which == 0 else ct["t2"]
@@ -624,10 +676,16 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
             f = idx // _S
             r, n = ct["r"], ct["n"]
             u = v3_sub(cube_point_vel(v, w, r), _point_vel_cols(ct["cols"], qds[f]))
-            d_lam, f_ln[idx] = normal_step(v3_dot(u, n), ct["target"], ct["wn"], f_ln[idx])
+            tgt = tgs_target(f_d[idx], ct["rest"], it) if tgs else ct["target"]
+            d_lam, f_ln[idx] = normal_step(v3_dot(u, n), tgt, ct["wn"], f_ln[idx])
             p = v3_scale(n, d_lam)
             v, w = cube_apply(v, w, r, p)
             qds[f] = _apply_impulse_cols(ct["minv_cols"], qds[f], p, -1.0)
+            if tgs:
+                u = v3_sub(
+                    cube_point_vel(v, w, r), _point_vel_cols(ct["cols"], qds[f])
+                )
+                f_d[idx] = f_d[idx] - v3_dot(u, n) * h_it
             mu_l = params.mu_link_cube * f_ln[idx]
             for which in (0, 1):
                 t_vec = ct["t1"] if which == 0 else ct["t2"]
@@ -645,10 +703,14 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
 
         for f, ct in enumerate(d_contacts):
             u = _tip_point_vel(fingers[f], qds[f])
-            d_lam, d_ln[f] = normal_step(u[2], ct["target"], ct["wn"], d_ln[f])
+            tgt = (tgs_target(d_d[f], ct["rest"], it, bias_cap=cfg.finger_bias_cap)
+                   if tgs else ct["target"])
+            d_lam, d_ln[f] = normal_step(u[2], tgt, ct["wn"], d_ln[f])
             qds[f] = _apply_tip_impulse(fingers[f], qds[f], (z, z, d_lam), 1.0)
             mu_l = params.mu_tip_ground * d_ln[f]
             u = _tip_point_vel(fingers[f], qds[f])
+            if tgs:
+                d_d[f] = d_d[f] - u[2] * h_it
             d_lam, d_l1[f] = friction_step(u[0], ct["wt1"], d_l1[f], mu_l)
             qds[f] = _apply_tip_impulse(fingers[f], qds[f], (d_lam, z, z), 1.0)
             u = _tip_point_vel(fingers[f], qds[f])
@@ -658,8 +720,13 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
         for f, ct in enumerate(e_contacts):
             n = ct["n"]
             u = _tip_point_vel(fingers[f], qds[f])
-            d_lam, e_ln[f] = normal_step(v3_dot(u, n), ct["target"], ct["wn"], e_ln[f])
+            tgt = (tgs_target(e_d[f], ct["rest"], it, bias_cap=cfg.finger_bias_cap)
+                   if tgs else ct["target"])
+            d_lam, e_ln[f] = normal_step(v3_dot(u, n), tgt, ct["wn"], e_ln[f])
             qds[f] = _apply_tip_impulse(fingers[f], qds[f], v3_scale(n, d_lam), 1.0)
+            if tgs:
+                u = _tip_point_vel(fingers[f], qds[f])
+                e_d[f] = e_d[f] - v3_dot(u, n) * h_it
             mu_l = params.mu_tip_wall * e_ln[f]
             for which in (0, 1):
                 t_vec = ct["t1"] if which == 0 else ct["t2"]
@@ -679,6 +746,21 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
                tuple(d_ln), tuple(d_l1), tuple(d_l2),
                tuple(e_ln), tuple(e_l1), tuple(e_l2),
                tuple(f_ln), tuple(f_l1), tuple(f_l2))
+        if tgs:
+            dep = (tuple(a_d), tuple(b_d), tuple(c_d),
+                   tuple(d_d), tuple(e_d), tuple(f_d))
+            # mini-step pose integration: positions genuinely move each
+            # iteration (true TGS); contact frames/jacobians stay frozen at
+            # substep start (first-order) while depths integrate alongside
+            p_pos, p_quat, p_q = poses
+            p_pos = tuple(p_pos[i] + h_it * v[i] for i in range(3))
+            p_quat = quat_integrate4(p_quat, w, h_it)
+            p_q = tuple(
+                p_q[3 * f + j] + h_it * qds[f][j]
+                for f in range(3) for j in range(3)
+            )
+            return (v, w, qds[0], qds[1], qds[2], lam, dep,
+                    (p_pos, p_quat, p_q))
         return v, w, qds[0], qds[1], qds[2], lam
 
     z8 = tuple(z for _ in range(8))
@@ -687,9 +769,22 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
     lam0 = (z8, z8, z8, z8, z8, z8, z8, z8,
             z3, z3, z3, z3, z3, z3, z3,
             z3, z3, z3, z3s, z3s, z3s)
-    v, w, qd0, qd1, qd2, lam = jax.lax.fori_loop(
-        0, cfg.solver_iterations, sweep, (v, w, qd_f[0], qd_f[1], qd_f[2], lam0)
-    )
+    if tgs:
+        dep0 = (tuple(ct["depth"] + z for ct in a_contacts),
+                tuple(ct["depth"] + z for ct in b_contacts),
+                tuple(ct["depth"] + z for ct in c_contacts),
+                tuple(ct["depth"] + z for ct in d_contacts),
+                tuple(ct["depth"] + z for ct in e_contacts),
+                tuple(ct["depth"] + z for ct in f_contacts))
+        poses0 = (pos, quat, tuple(state.q[i] + z for i in range(9)))
+        v, w, qd0, qd1, qd2, lam, _, tgs_poses = jax.lax.fori_loop(
+            0, cfg.solver_iterations, sweep,
+            (v, w, qd_f[0], qd_f[1], qd_f[2], lam0, dep0, poses0),
+        )
+    else:
+        v, w, qd0, qd1, qd2, lam = jax.lax.fori_loop(
+            0, cfg.solver_iterations, sweep, (v, w, qd_f[0], qd_f[1], qd_f[2], lam0)
+        )
     qd_f = [qd0, qd1, qd2]
 
     # ---- fingertip contact impulses (wrench sensing) ----------------------
@@ -731,13 +826,15 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
     # ---- integrate positions + joint limits -------------------------------
     # limits come from cfg (static python floats, folded at trace time) so a
     # non-default SolverConfig cannot silently diverge from engine.py
+    # (TGS already integrated poses inside the mini-step loop)
     jlow = tuple(float(x) for x in cfg.joint_limit_lower)
     jhigh = tuple(float(x) for x in cfg.joint_limit_upper)
     q_new, qd_out = [], []
     for f in range(3):
         for j in range(3):
             gi = 3 * f + j
-            qv = state.q[gi] + h * qd_f[f][j]
+            qv = (tgs_poses[2][gi] if tgs
+                  else state.q[gi] + h * qd_f[f][j])
             qc = jnp.clip(qv, jlow[gi], jhigh[gi])
             qdv = qd_f[f][j]
             at_lower = (qv <= jlow[gi]) & (qdv < 0.0)
@@ -751,8 +848,11 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
     w_scale = jnp.where(w_norm > _MAX_CUBE_ANGVEL, _MAX_CUBE_ANGVEL / w_norm, 1.0)
     w = v3_scale(w, w_scale)
 
-    new_quat = quat_integrate4(quat, w, h)
-    new_pos = tuple(pos[i] + h * v[i] for i in range(3))
+    if tgs:
+        new_pos, new_quat = tgs_poses[0], tgs_poses[1]
+    else:
+        new_quat = quat_integrate4(quat, w, h)
+        new_pos = tuple(pos[i] + h * v[i] for i in range(3))
     return (tuple(q_new), tuple(qd_out), new_pos, new_quat, tuple(v), tuple(w),
             tip_imp, tip_timp)
 

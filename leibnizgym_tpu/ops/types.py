@@ -175,7 +175,20 @@ class SolverConfig:
 
     substeps: int = struct.field(pytree_node=False, default=4)
     solver_iterations: int = struct.field(pytree_node=False, default=8)
+    # 0 = velocity-level PGS + Baumgarte bias (the validated training
+    #     default mapping of the reference's PhysX config);
+    # 1 = TGS (PhysX solver_type 1, reference rlg_hydra.py:27-29): every
+    #     solver iteration is a mini-step of h/solver_iterations — contact
+    #     depths are integrated along with the evolving normal velocities,
+    #     so positional error is corrected geometrically across iterations
+    #     instead of through a one-shot velocity bias. Select from the env
+    #     via sim.physx.tpu_solver: "tgs".
+    solver_type: int = struct.field(pytree_node=False, default=0)
     baumgarte: float = struct.field(pytree_node=False, default=0.2)
+    # TGS positional bias factor per mini-step: the velocity target corrects
+    # tgs_bias of the *remaining* depth per iteration (geometric decay, so
+    # the exit velocity carries only ~(1-tgs_bias)^iters of bias energy)
+    tgs_bias: float = struct.field(pytree_node=False, default=0.7)
     contact_slop: float = struct.field(pytree_node=False, default=0.001)
     # Floor on the effective inverse mass (J M^-1 J^T projected on the
     # contact direction) of finger-only contacts (tip-ground, tip-wall).

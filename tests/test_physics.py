@@ -398,6 +398,95 @@ class TestSingularContacts:
             assert float(jnp.max(jnp.abs(state.qd))) <= 10.0 + 1e-5
 
 
+class TestTGS:
+    """solver_type 1 (TGS mini-step mode, reference rlg_hydra.py:27-29):
+    per-iteration pose integration with live depth updates."""
+
+    def _drop(self, stepper, cfg, z0, steps):
+        params = SceneParams.default()
+        state = PhysicsState.default(()).replace(
+            cube_pos=jnp.array([0.0, 0.0, z0]),
+            q=jnp.tile(jnp.asarray(tf_model.JOINT_POS_DEFAULT), 3),
+        )
+        fast = jax.jit(lambda s: stepper(s, jnp.zeros(9), params, cfg, 0.02))
+        zs = []
+        for _ in range(steps):
+            state, _ = fast(state)
+            zs.append(float(state.cube_pos[2]))
+        return state, zs
+
+    def test_penetration_recovery_no_bounce(self):
+        """5 mm interpenetration: TGS must correct geometrically without
+        launching the cube (no Baumgarte energy injection above rest+slop)."""
+        from leibnizgym_tpu.ops.engine_v2 import physics_step_v2
+
+        cfg = SolverConfig(solver_type=1)
+        state, zs = self._drop(physics_step_v2, cfg, 0.0325 - 0.005, 25)
+        assert max(zs) < 0.0325 + 0.0015, f"bounced to {max(zs)}"
+        # recovered to within the contact slop band
+        assert zs[-1] > 0.0325 - SolverConfig().contact_slop - 1e-4
+
+    def test_settle_matches_pgs_within_slop(self):
+        from leibnizgym_tpu.ops.engine_v2 import physics_step_v2
+
+        _, zs_pgs = self._drop(physics_step_v2, SolverConfig(solver_type=0), 0.1, 100)
+        _, zs_tgs = self._drop(physics_step_v2, SolverConfig(solver_type=1), 0.1, 100)
+        assert abs(zs_pgs[-1] - zs_tgs[-1]) < SolverConfig().contact_slop
+
+    def test_engines_match_under_tgs(self):
+        from leibnizgym_tpu.ops.engine_v2 import physics_step_v2
+
+        cfg = SolverConfig(substeps=2, solver_iterations=8, solver_type=1)
+        params = SceneParams.default()
+        rng = np.random.default_rng(7)
+        f1 = jax.jit(lambda s, t: physics_step(s, t, params, cfg, 0.02))
+        f2 = jax.jit(lambda s, t: physics_step_v2(s, t, params, cfg, 0.02))
+        for _ in range(5):
+            state = PhysicsState.default(()).replace(
+                q=jnp.asarray((np.tile(tf_model.JOINT_POS_DEFAULT, 3)
+                               + rng.uniform(-0.3, 0.3, 9)).astype(np.float32)),
+                qd=jnp.asarray(rng.uniform(-1, 1, 9).astype(np.float32)),
+                cube_pos=jnp.asarray([rng.uniform(-0.05, 0.05),
+                                      rng.uniform(-0.05, 0.05), 0.034],
+                                     dtype=jnp.float32),
+                cube_linvel=jnp.asarray(rng.uniform(-0.5, 0.5, 3).astype(np.float32)),
+            )
+            tau = jnp.asarray(rng.uniform(-0.36, 0.36, 9).astype(np.float32))
+            s1, _ = f1(state, tau)
+            s2, _ = f2(state, tau)
+            for a, b in zip(jax.tree_util.tree_leaves(s1),
+                            jax.tree_util.tree_leaves(s2)):
+                assert float(jnp.max(jnp.abs(a - b))) < 1e-4
+
+    def test_pallas_matches_engine_v2_under_tgs(self):
+        from leibnizgym_tpu.ops.engine_v2 import physics_step_v2
+        from leibnizgym_tpu.ops.pallas_engine import physics_step_pallas
+
+        cfg = SolverConfig(substeps=2, solver_iterations=4, solver_type=1)
+        n = 8
+        rng = np.random.default_rng(3)
+        state = PhysicsState.default((n,)).replace(
+            q=jnp.asarray((np.tile(tf_model.JOINT_POS_DEFAULT, 3)
+                           + rng.uniform(-0.3, 0.3, (n, 9))).astype(np.float32)),
+            qd=jnp.asarray(rng.uniform(-2, 2, (n, 9)).astype(np.float32)),
+            cube_pos=jnp.asarray(np.stack(
+                [rng.uniform(-0.1, 0.1, n), rng.uniform(-0.1, 0.1, n),
+                 rng.uniform(0.03, 0.08, n)], -1).astype(np.float32)),
+            cube_linvel=jnp.asarray(rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)),
+        )
+        scene = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n,) + jnp.shape(x)), SceneParams.default()
+        )
+        tau = jnp.asarray(rng.uniform(-0.36, 0.36, (n, 9)).astype(np.float32))
+        ref = jax.vmap(physics_step_v2, in_axes=(0, 0, 0, None, None))(
+            state, tau, scene, cfg, 0.02)
+        pal = physics_step_pallas(state, tau, scene, cfg, 0.02, interpret=True)
+        for name in ["q", "qd", "cube_pos", "cube_quat", "cube_linvel",
+                     "cube_angvel"]:
+            err = float(jnp.abs(getattr(ref[0], name) - getattr(pal[0], name)).max())
+            assert err < 1e-5, f"{name}: {err}"
+
+
 class TestEngineEquivalence:
     """The SoA hot-path engine must match the readable reference engine."""
 
