@@ -226,8 +226,13 @@ class Runner:
             self._start_watchdog(
                 max(watchdog_timeout, self._FIRST_EPOCH_WATCHDOG_FLOOR)
             )
+        prev_ts = None
         for epoch in range(1, epochs + 1):
             t0 = time.time()
+            if cfg.nan_telemetry:
+                # keep the pre-epoch state so a nan halt can dump the exact
+                # reproducer (replayed by scripts/nan_replay.py)
+                prev_ts = self.ts
             self.ts, metrics = self._train_iter(
                 cfg, self.static, self.env_params, self.ts
             )
@@ -288,6 +293,13 @@ class Runner:
                         if k.startswith("nan/")
                     )
                 )
+                if prev_ts is not None:
+                    import pickle
+
+                    path = os.path.join(self.logdir, "nan_prev_ts.pkl")
+                    with open(path, "wb") as fh:
+                        pickle.dump(jax.device_get(prev_ts), fh)
+                    print_error(f"pre-nan train state dumped to {path}")
                 self.save("nan_halt")
                 break
         self.save("final")
