@@ -77,9 +77,13 @@ def closest_point_on_box(center_local: jax.Array, half: jax.Array):
     """
     clamped = jnp.clip(center_local, -half, half)
     delta = center_local - clamped
-    dist = jnp.linalg.norm(delta)
-    outside = dist > 1e-9
-    n_out = delta / jnp.maximum(dist, 1e-9)
+    # sqrt-free outside test (matches engine_v2.sphere_vs_cube): TPU's sqrt
+    # rounding can flip a `norm(delta) > eps` predicate at the epsilon
+    # boundary and emit a zero normal for a center exactly on/inside the box
+    dist_sq = delta @ delta
+    outside = dist_sq > 1e-16
+    dist = jnp.sqrt(jnp.maximum(dist_sq, 1e-18))
+    n_out = delta / dist
 
     # inside: push out through nearest face
     face_gap = half - jnp.abs(center_local)  # >= 0 inside

@@ -317,8 +317,10 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
     # torsional friction about the contact normal at cube contacts (cube-side
     # angular resistance only; the PhysX patch model torque bound is
     # mu_torsion * patch_radius * lambda_n)
+    # floored like engine_v2.k_spin: a degenerate zero normal must yield a
+    # zero torsion impulse (0/eps), never 0/0 = NaN
     def k_spin(n):
-        return n @ body.inv_inertia_w @ n
+        return jnp.maximum(n @ body.inv_inertia_w @ n, 1e-6)
 
     a_ws = k_spin(ground_n)
     b_ws = jax.vmap(k_spin)(b_n)

@@ -418,8 +418,16 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
         local = m3_matvec(m3_T(rot), v3_sub(center, pos))
         clamped = tuple(jnp.clip(local[i], -half[i], half[i]) for i in range(3))
         delta = v3_sub(local, clamped)
-        dist = jnp.sqrt(jnp.maximum(v3_dot(delta, delta), 1e-18))
-        outside = dist > 1e-9
+        # the outside test must NOT go through sqrt: TPU's sqrt approximation
+        # rounds sqrt(1e-18) to one ulp ABOVE f32(1e-9), so a `sqrt(max(d2,
+        # 1e-18)) > 1e-9` predicate classifies a delta of exactly zero (tip
+        # center inside the box) as "outside", yielding a zero contact normal
+        # whose torsional spin mass divides 0/0 -> NaN (observed blowing up a
+        # D4 training run at 8.6M frames; CPU rounds the same sqrt one ulp
+        # BELOW and is immune). Compare the squared distance directly.
+        dist_sq = v3_dot(delta, delta)
+        outside = dist_sq > 1e-16
+        dist = jnp.sqrt(jnp.maximum(dist_sq, 1e-18))
         inv_dist = 1.0 / dist
         n_out = v3_scale(delta, inv_dist)
         # inside: push out through nearest face
@@ -550,8 +558,10 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
         )
 
     # ---- torsional friction spin masses at cube contacts ------------------
+    # floored: a degenerate (zero) contact normal must give 0/eps = 0 torsion
+    # impulse, never 0/0 = NaN; real normals have n.I^-1.n ~ 1e4 >> the floor
     def k_spin(n):
-        return v3_dot(n, m3_matvec(inv_i_w, n))
+        return jnp.maximum(v3_dot(n, m3_matvec(inv_i_w, n)), 1e-6)
 
     a_ws = inv_i_w[2][2]
     b_ws = [k_spin(ct["n"]) for ct in b_contacts]

@@ -398,6 +398,56 @@ class TestSingularContacts:
             assert float(jnp.max(jnp.abs(state.qd))) <= 10.0 + 1e-5
 
 
+class TestDegenerateTipContact:
+    """Tip center exactly on/inside the cube: the closest-point delta is
+    exactly zero, and the `outside` predicate must not classify it as
+    outside (which would emit a zero contact normal whose torsional spin
+    mass divides 0/0 -> NaN). On TPU, sqrt(max(0, 1e-18)) rounds one ulp
+    ABOVE f32(1e-9) so a sqrt-based predicate flips there — the round-2
+    difficulty-4 NaN at epoch 34 (nan_microscope repro). The predicate is
+    now sqrt-free on squared distance in all engines."""
+
+    def test_closest_point_on_box_degenerate(self):
+        from leibnizgym_tpu.ops.contact import closest_point_on_box
+
+        half = jnp.array([0.0325, 0.0325, 0.0325])
+        probes = [
+            jnp.array([0.0325, 0.0, 0.0]),      # exactly on a face
+            jnp.array([0.0325, 0.0325, 0.0325]),  # exactly at a corner
+            jnp.array([0.0, 0.0, 0.0]),          # at the center
+            jnp.array([0.0325 + 1e-10, 0.0, 0.0]),  # epsilon outside
+        ]
+        for center in probes:
+            n, sdist, surf = closest_point_on_box(center, half)
+            assert bool(jnp.isfinite(n).all()), center
+            assert abs(float(jnp.linalg.norm(n)) - 1.0) < 1e-5, (
+                "degenerate contact must still produce a unit normal",
+                center,
+                np.asarray(n),
+            )
+            assert bool(jnp.isfinite(sdist)) and bool(jnp.isfinite(surf).all())
+
+    @pytest.mark.parametrize("engine", ["reference", "soa"])
+    def test_tip_buried_in_cube_stays_finite(self, engine):
+        from leibnizgym_tpu.ops.engine_v2 import physics_step_v2
+
+        stepper = physics_step if engine == "reference" else physics_step_v2
+        cfg = SolverConfig()
+        params = SceneParams.default()
+        q9 = jnp.tile(jnp.asarray(tf_model.JOINT_POS_DEFAULT), 3)
+        tips, _, _ = K.all_tips_world(q9)
+        # cube centered exactly on finger-0's tip center: delta == 0 in the
+        # closest-point query, the historical 0/0 torsion NaN trigger
+        state = PhysicsState.default(()).replace(
+            q=q9, cube_pos=tips[0],
+        )
+        fast = jax.jit(lambda s, t: stepper(s, t, params, cfg, 0.02))
+        for _ in range(20):
+            state, _ = fast(state, jnp.zeros(9))
+        for leaf in jax.tree_util.tree_leaves(state):
+            assert bool(jnp.isfinite(leaf).all()), engine
+
+
 class TestTGS:
     """solver_type 1 (TGS mini-step mode, reference rlg_hydra.py:27-29):
     per-iteration pose integration with live depth updates."""
