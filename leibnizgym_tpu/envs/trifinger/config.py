@@ -18,6 +18,11 @@ from leibnizgym_tpu.envs.env_base import SIM_DEFAULT_CONFIG_DICT  # noqa: F401
 TRIFINGER_DEFAULT_CONFIG_DICT = {
     "episode_length": 750,
     "task_difficulty": 1,
+    # object asset selection (reference ships cube_multicolor_rrc.urdf and
+    # ball.urdf, trifinger_env.py:140 + objects/urdf/ball.urdf):
+    # "cube" (default) or "sphere". object_size (scalar or [x, y, z]) overrides
+    # the edge length / diameter.
+    "object_type": "cube",
     "enable_ft_sensors": False,
     "command_mode": "position",
     "apply_safety_damping": True,

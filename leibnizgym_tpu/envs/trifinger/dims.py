@@ -71,3 +71,34 @@ class CuboidalObject:
         self.radius_3d = max_len * math.sqrt(3) / 2
         self.max_com_distance_to_center = ARENA_RADIUS - self.radius_3d
         self.min_height = self._size[2] / 2
+
+
+class SphereObject:
+    """Derived geometry for a spherical object (ball.urdf variant,
+    reference resources/assets/trifinger/objects/urdf/ball.urdf: radius
+    0.0375 m). Mirrors the CuboidalObject surface; ``size`` is the
+    bounding-box edge (the diameter)."""
+
+    radius_3d: float
+    max_com_distance_to_center: float
+    min_height: float
+    max_height: float = 0.1
+
+    def __init__(self, size: Union[float, Tuple[float, float, float]]):
+        self._size = (size, size, size) if isinstance(size, float) else tuple(size)
+        self.__compute()
+
+    @property
+    def size(self) -> Tuple[float, float, float]:
+        return self._size
+
+    @size.setter
+    def size(self, size: Union[float, Tuple[float, float, float]]):
+        self._size = (size, size, size) if isinstance(size, float) else tuple(size)
+        self.__compute()
+
+    def __compute(self):
+        # a sphere's circumscribed radius IS its radius
+        self.radius_3d = max(self._size) / 2
+        self.max_com_distance_to_center = ARENA_RADIUS - self.radius_3d
+        self.min_height = self._size[2] / 2

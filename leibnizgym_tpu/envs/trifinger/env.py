@@ -38,7 +38,11 @@ from leibnizgym_tpu.envs.trifinger.config import (
     SIM_DEFAULT_CONFIG_DICT,
     TRIFINGER_DEFAULT_CONFIG_DICT,
 )
-from leibnizgym_tpu.envs.trifinger.dims import CuboidalObject, TrifingerDimensions
+from leibnizgym_tpu.envs.trifinger.dims import (
+    CuboidalObject,
+    SphereObject,
+    TrifingerDimensions,
+)
 from leibnizgym_tpu.envs.trifinger.rewards import (
     RewardTermSpec,
     build_reward_specs,
@@ -223,10 +227,16 @@ def build_static(config: dict) -> EnvStatic:
         raise ValueError(
             f"Invalid sim.physx.tpu_solver: {tpu_solver!r} not in ['pgs', 'tgs']."
         )
+    object_type = str(config.get("object_type", "cube"))
+    if object_type not in ("cube", "sphere"):
+        raise ValueError(
+            f"Invalid object_type: {object_type!r} not in ['cube', 'sphere']."
+        )
     solver = SolverConfig(
         substeps=int(sim["substeps"]),
         solver_iterations=int(sim["physx"]["num_position_iterations"]),
         solver_type=1 if tpu_solver == "tgs" else 0,
+        object_shape=1 if object_type == "sphere" else 0,
     )
     return EnvStatic(
         num_envs=int(config["num_instances"]),
@@ -366,7 +376,10 @@ def build_params(static: EnvStatic, object_dims: CuboidalObject) -> EnvParams:
         object_max_height=jnp.asarray(object_dims.max_height),
         object_radius_3d=jnp.asarray(object_dims.radius_3d),
         object_size_z=jnp.asarray(object_dims.size[2]),
-        scene_base=SceneParams.default(object_size=object_dims.size),
+        scene_base=SceneParams.default(
+            object_size=object_dims.size,
+            object_shape="sphere" if static.solver.object_shape == 1 else "box",
+        ),
     )
 
 
@@ -960,9 +973,15 @@ class TrifingerEnv(EnvBase):
             merged["enable_ft_sensors"] = True
 
         # configurable object dimensions (realizes the reference TODO at
-        # trifinger_env.py:139-143; scalar = cube, [x, y, z] = cuboid)
-        object_size = merged.get("object_size", 0.065)
-        self._object_dims = CuboidalObject(
+        # trifinger_env.py:139-143; scalar = cube edge / sphere diameter,
+        # [x, y, z] = cuboid)
+        object_type = str(merged.get("object_type", "cube"))
+        object_size = merged.get(
+            "object_size",
+            2 * tf_model.BALL_RADIUS if object_type == "sphere" else 0.065,
+        )
+        dims_cls = SphereObject if object_type == "sphere" else CuboidalObject
+        self._object_dims = dims_cls(
             float(object_size) if np.isscalar(object_size)
             else tuple(float(s) for s in object_size)
         )

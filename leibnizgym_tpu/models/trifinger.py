@@ -167,6 +167,27 @@ CUBE_ANGULAR_DAMPING = 0.5  # gymapi.AssetOptions() default (not overridden)
 CUBE_LINEAR_DAMPING = 0.0
 
 
+# ---------------------------------------------------------------------------
+# Ball (ball.urdf: 0.0375 m radius sphere, mass 0.25, declared inertia 1e-4;
+# reference resources/assets/trifinger/objects/urdf/ball.urdf)
+# ---------------------------------------------------------------------------
+
+BALL_RADIUS = 0.0375
+BALL_MASS = 0.25
+# the URDF declares 1e-4 (slightly below the solid-sphere 2/5 m r^2 = 1.41e-4);
+# IsaacGym uses declared inertias as-is, so the default ball keeps them
+BALL_INERTIA = 1e-4
+
+
+def ball_inertia_diag(mass: float, radius: float) -> np.ndarray:
+    """Diagonal inertia of the ball object.
+
+    At the ball.urdf defaults this returns the URDF's declared 1e-4 exactly;
+    off-default mass/radius scale it physically (I ~ m r^2)."""
+    scale = (mass / BALL_MASS) * (radius / BALL_RADIUS) ** 2
+    return np.full(3, BALL_INERTIA * scale, dtype=np.float32)
+
+
 def cube_inertia_diag(mass: float, size) -> np.ndarray:
     """Diagonal inertia of a solid cuboid about its COM."""
     if np.isscalar(size):

@@ -139,30 +139,65 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
     # the contact path.
     tip_centers = pre.tip_pos_w + _TIP_LOCAL_OFFSET
 
-    corners_w = state.cube_pos + jnp.einsum(
-        "ij,cj->ci", body.rot, _CORNER_SIGNS * half
-    )  # (8, 3)
+    # object shape is static (cfg.object_shape): box = 8 corner points vs
+    # ground/wall; sphere (ball.urdf) = ONE lowest point vs ground and ONE
+    # outermost radial point vs wall, and probe queries are sphere-sphere
+    sphere_obj = cfg.object_shape == 1
+    radius_o = half[0]  # sphere radius (half_extents broadcast to (r, r, r))
+    ground_n = jnp.array([0.0, 0.0, 1.0])
+    if sphere_obj:
+        a_pts = (state.cube_pos - ground_n * radius_o)[None]  # (1, 3)
+        rho_c = jnp.linalg.norm(state.cube_pos[0:2])
+        outward = state.cube_pos[0:2] / jnp.maximum(rho_c, 1e-9)
+        b_pts = (state.cube_pos + jnp.concatenate(
+            [outward * radius_o, jnp.zeros(1)]
+        ))[None]
+        b_depth = (rho_c + radius_o - params.wall_radius)[None]
+        b_n = jnp.concatenate([-outward, jnp.zeros(1)])[None]
+    else:
+        corners_w = state.cube_pos + jnp.einsum(
+            "ij,cj->ci", body.rot, _CORNER_SIGNS * half
+        )  # (8, 3)
+        a_pts = b_pts = corners_w
+        rho = jnp.linalg.norm(corners_w[:, 0:2], axis=-1)
+        b_depth = rho - params.wall_radius
+        inward = -corners_w[:, 0:2] / jnp.maximum(rho[:, None], 1e-9)
+        b_n = jnp.concatenate([inward, jnp.zeros((8, 1))], axis=-1)
+    _P = a_pts.shape[0]  # object contact points per group (static)
 
     # ---- contact slot construction ---------------------------------------
-    # group A: cube corners vs ground (8)
-    ground_n = jnp.array([0.0, 0.0, 1.0])
-    a_depth = -corners_w[:, 2]
-    a_r = corners_w - state.cube_pos
+    # group A: object points vs ground
+    a_depth = -a_pts[:, 2]
+    a_r = a_pts - state.cube_pos
 
-    # group B: cube corners vs arena wall (8); inward radial normal
-    rho = jnp.linalg.norm(corners_w[:, 0:2], axis=-1)
-    b_depth = rho - params.wall_radius
-    inward = -corners_w[:, 0:2] / jnp.maximum(rho[:, None], 1e-9)
-    b_n = jnp.concatenate([inward, jnp.zeros((8, 1))], axis=-1)
-    b_r = a_r
+    # group B: object points vs arena wall; inward radial normal
+    b_r = b_pts - state.cube_pos
 
-    # group C: tip spheres vs cube (3)
-    def tip_cube(center):
+    # probe sphere (tip / link sample) vs object surface
+    def obj_surface(center):
+        """(n_w, sdist, point): signed distance of the probe center to the
+        object surface; +n pushes the object away from the probe."""
+        if sphere_obj:
+            delta = center - state.cube_pos
+            d2 = delta @ delta
+            dist = jnp.sqrt(jnp.maximum(d2, 1e-18))
+            # degenerate probe-at-center: fixed +z direction (finite, unit)
+            dir_out = jnp.where(
+                d2 > 1e-16, delta / dist, jnp.array([0.0, 0.0, 1.0])
+            )
+            sdist = dist - radius_o
+            point = state.cube_pos + radius_o * dir_out
+            return -dir_out, sdist, point
         local = body.rot.T @ (center - state.cube_pos)
         n_local, sdist, surf_local = closest_point_on_box(local, half)
-        depth = params.tip_radius - sdist
-        n_w = -(body.rot @ n_local)  # +n pushes the cube away from the tip
+        n_w = -(body.rot @ n_local)
         point = state.cube_pos + body.rot @ surf_local
+        return n_w, sdist, point
+
+    # group C: tip spheres vs object (3)
+    def tip_cube(center):
+        n_w, sdist, point = obj_surface(center)
+        depth = params.tip_radius - sdist
         return n_w, depth, point
 
     c_n, c_depth, c_point = jax.vmap(tip_cube)(tip_centers)
@@ -178,13 +213,10 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
     e_inward = -tip_centers[:, 0:2] / jnp.maximum(e_rho[:, None], 1e-9)
     e_n = jnp.concatenate([e_inward, jnp.zeros((3, 1))], axis=-1)
 
-    # group F: lower-link shaft samples vs cube (3 fingers x S samples)
+    # group F: lower-link shaft samples vs object (3 fingers x S samples)
     def link_cube(center, radius):
-        local = body.rot.T @ (center - state.cube_pos)
-        n_local, sdist, surf_local = closest_point_on_box(local, half)
+        n_w, sdist, point = obj_surface(center)
         depth = radius - sdist
-        n_w = -(body.rot @ n_local)  # +n pushes the cube away from the link
-        point = state.cube_pos + body.rot @ surf_local
         return n_w, depth, point
 
     _S = len(tf_model.LOWER_LINK_SAMPLES)
@@ -374,7 +406,7 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
          e_ln, e_l1, e_l2, f_ln, f_l1, f_l2) = lam
 
         # -- A: cube corners vs ground
-        for i in range(8):
+        for i in range(_P):
             r = a_r[i]
             u = v + jnp.cross(w, r)
             tgt = tgs_target(a_d[i], a_rest[i], it) if tgs else a_target[i]
@@ -406,7 +438,7 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
             w = w + body.inv_inertia_w @ (d_lam * ground_n)
 
         # -- B: cube corners vs wall
-        for i in range(8):
+        for i in range(_P):
             r, n = b_r[i], b_n[i]
             u = v + jnp.cross(w, r)
             tgt = tgs_target(b_d[i], b_rest[i], it) if tgs else b_target[i]
@@ -567,10 +599,10 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
                     (p_pos, p_quat, p_q))
         return v, w, qd_f, new_lam
 
-    zeros8 = jnp.zeros(8)
+    zeros_p = jnp.zeros(_P)
     zeros3 = jnp.zeros(3)
     zeros3s = jnp.zeros((3, _S))
-    lam0 = (zeros8, zeros8, zeros8, zeros8, zeros8, zeros8, zeros8, zeros8,
+    lam0 = (zeros_p, zeros_p, zeros_p, zeros_p, zeros_p, zeros_p, zeros_p, zeros_p,
             zeros3, zeros3, zeros3, zeros3, zeros3, zeros3, zeros3,
             zeros3, zeros3, zeros3, zeros3s, zeros3s, zeros3s)
     if tgs:

@@ -360,22 +360,51 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
     def cube_point_vel(v_, w_, r):
         return v3_add(v_, v3_cross(w_, r))
 
-    corners = []
-    for sx, sy, sz in _CORNER_SIGNS:
-        local = (sx * half[0], sy * half[1], sz * half[2])
-        corners.append(v3_add(pos, m3_matvec(rot, local)))
+    # object shape is static (cfg.object_shape): box = 8 corner points vs
+    # ground/wall; sphere (ball.urdf) = ONE lowest point vs ground and ONE
+    # outermost radial point vs wall (mirrors engine.py _substep)
+    sphere_obj = cfg.object_shape == 1
+    radius_o = half[0]
+    if sphere_obj:
+        a_points = [(pos[0], pos[1], pos[2] - radius_o)]
+        rho_c = jnp.sqrt(jnp.maximum(pos[0] ** 2 + pos[1] ** 2, 1e-18))
+        inv_rho_c = 1.0 / jnp.maximum(rho_c, 1e-9)
+        out_x, out_y = pos[0] * inv_rho_c, pos[1] * inv_rho_c
+        b_points = [(pos[0] + out_x * radius_o, pos[1] + out_y * radius_o, pos[2])]
+        b_geoms = [  # (depth, n)
+            (rho_c + radius_o - params.wall_radius,
+             (-out_x, -out_y, jnp.zeros_like(rho_c)))
+        ]
+    else:
+        corners = []
+        for sx, sy, sz in _CORNER_SIGNS:
+            local = (sx * half[0], sy * half[1], sz * half[2])
+            corners.append(v3_add(pos, m3_matvec(rot, local)))
+        a_points = corners
+        b_points = corners
+        b_geoms = []
+        for ci in range(8):
+            rho = jnp.sqrt(
+                jnp.maximum(corners[ci][0] ** 2 + corners[ci][1] ** 2, 1e-18)
+            )
+            inv_rho = 1.0 / rho
+            b_geoms.append((
+                rho - params.wall_radius,
+                (-corners[ci][0] * inv_rho, -corners[ci][1] * inv_rho,
+                 jnp.zeros_like(rho)),
+            ))
 
     ez = (0.0, 0.0, 1.0)
 
-    # ---- contact group A: cube corners vs ground --------------------------
+    # ---- contact group A: object points vs ground -------------------------
     # tangent basis of the +z normal exactly as engine._tangent_basis yields:
     # t1 = z x x = +y, t2 = z x t1 = -x (order matters for PGS equivalence)
     a_contacts = []
     a_t1 = (0.0, 1.0, 0.0)
     a_t2 = (-1.0, 0.0, 0.0)
-    for ci in range(8):
-        r = v3_sub(corners[ci], pos)
-        depth = -corners[ci][2]
+    for pt in a_points:
+        r = v3_sub(pt, pos)
+        depth = -pt[2]
         vn0 = cube_point_vel(v, w, r)[2]
         target = _contact_target_s(
             depth, vn0, params.restitution_cube_ground, params.bounce_threshold, h, cfg
@@ -388,16 +417,10 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
                  wn=k_cube_dir(r, ez), wt1=k_cube_dir(r, a_t1), wt2=k_cube_dir(r, a_t2))
         )
 
-    # ---- group B: cube corners vs arena wall ------------------------------
+    # ---- group B: object points vs arena wall -----------------------------
     b_contacts = []
-    for ci in range(8):
-        r = v3_sub(corners[ci], pos)
-        rho = jnp.sqrt(
-            jnp.maximum(corners[ci][0] ** 2 + corners[ci][1] ** 2, 1e-18)
-        )
-        depth = rho - params.wall_radius
-        inv_rho = 1.0 / rho
-        n = (-corners[ci][0] * inv_rho, -corners[ci][1] * inv_rho, jnp.zeros_like(rho))
+    for pt, (depth, n) in zip(b_points, b_geoms):
+        r = v3_sub(pt, pos)
         t1, t2 = _tangent_basis_s(n)
         u = cube_point_vel(v, w, r)
         target = _contact_target_s(
@@ -411,10 +434,28 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
                  wn=k_cube_dir(r, n), wt1=k_cube_dir(r, t1), wt2=k_cube_dir(r, t2))
         )
 
-    # ---- sphere-vs-cube closest-point helper (shared by groups C and F) ----
+    # ---- probe-vs-object closest-point helper (shared by groups C and F) ---
     def sphere_vs_cube(center):
-        """Returns (r, n_w, t1, t2, point, sdist) of the box point closest to
-        ``center``; +n pushes the cube away from the sphere."""
+        """Returns (r, n_w, t1, t2, point, sdist) of the object point closest
+        to ``center``; +n pushes the object away from the probe sphere."""
+        if sphere_obj:
+            delta = v3_sub(center, pos)
+            d2 = v3_dot(delta, delta)
+            dist = jnp.sqrt(jnp.maximum(d2, 1e-18))
+            inv_dist = 1.0 / dist
+            # degenerate probe-at-center: fixed +z direction (finite, unit)
+            deg = d2 > 1e-16
+            dir_out = (
+                jnp.where(deg, delta[0] * inv_dist, 0.0),
+                jnp.where(deg, delta[1] * inv_dist, 0.0),
+                jnp.where(deg, delta[2] * inv_dist, 1.0),
+            )
+            sdist = dist - radius_o
+            point = v3_add(pos, v3_scale(dir_out, radius_o))
+            n_w = v3_scale(dir_out, -1.0)
+            r = v3_sub(point, pos)
+            t1, t2 = _tangent_basis_s(n_w)
+            return r, n_w, t1, t2, point, sdist
         local = m3_matvec(m3_T(rot), v3_sub(center, pos))
         clamped = tuple(jnp.clip(local[i], -half[i], half[i]) for i in range(3))
         delta = v3_sub(local, clamped)
@@ -773,7 +814,7 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
                     (p_pos, p_quat, p_q))
         return v, w, qds[0], qds[1], qds[2], lam
 
-    z8 = tuple(z for _ in range(8))
+    z8 = tuple(z for _ in range(len(a_contacts)))
     z3 = tuple(z for _ in range(3))
     z3s = tuple(z for _ in range(3 * _S))
     lam0 = (z8, z8, z8, z8, z8, z8, z8, z8,

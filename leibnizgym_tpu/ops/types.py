@@ -100,11 +100,32 @@ class SceneParams:
     torsion_patch_radius: jax.Array  # ()
 
     @classmethod
-    def default(cls, object_size=None, object_density: float | None = None) -> "SceneParams":
+    def default(cls, object_size=None, object_density: float | None = None,
+                object_shape: str = "box") -> "SceneParams":
         """Defaults for the RRC cube; ``object_size`` (scalar or (3,)) and
         ``object_density`` support cuboid variants (the reference's phase-3
         cuboid and its open TODO 'Make object dimensions configurable',
-        trifinger_env.py:139-143)."""
+        trifinger_env.py:139-143). ``object_shape="sphere"`` selects the
+        ball.urdf object (radius 0.0375, mass 0.25; reference
+        resources/assets/trifinger/objects/urdf/ball.urdf) — ``object_size``
+        is then the diameter and ``cube_half_extents[0]`` carries the radius."""
+        if object_shape == "sphere":
+            size = np.broadcast_to(np.asarray(
+                2 * tf_model.BALL_RADIUS if object_size is None else object_size,
+                np.float64,
+            ), (3,))
+            radius = float(size[0]) / 2
+            if object_density is None:
+                # URDF declares the mass outright; scale with volume if the
+                # radius is overridden
+                mass = tf_model.BALL_MASS * (radius / tf_model.BALL_RADIUS) ** 3
+            else:
+                mass = float(object_density * 4.0 / 3.0 * np.pi * radius**3)
+            return cls.default(
+                object_size=size, object_density=mass / float(np.prod(size))
+            ).replace(
+                cube_inertia=jnp.asarray(tf_model.ball_inertia_diag(mass, radius)),
+            )
         size = np.asarray(
             tf_model.CUBE_SIZE if object_size is None else object_size, np.float64
         )
@@ -184,6 +205,11 @@ class SolverConfig:
     #     instead of through a one-shot velocity bias. Select from the env
     #     via sim.physx.tpu_solver: "tgs".
     solver_type: int = struct.field(pytree_node=False, default=0)
+    # 0 = box object (RRC cube), 1 = sphere object (ball.urdf). Static so the
+    # engines trace shape-specific contact sets: a sphere has ONE ground and
+    # ONE wall contact point instead of 8 corners, and tip/link-vs-object
+    # queries become sphere-sphere instead of sphere-box.
+    object_shape: int = struct.field(pytree_node=False, default=0)
     baumgarte: float = struct.field(pytree_node=False, default=0.2)
     # TGS positional bias factor per mini-step: the velocity target corrects
     # tgs_bias of the *remaining* depth per iteration (geometric decay, so
