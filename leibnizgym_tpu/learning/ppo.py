@@ -81,6 +81,10 @@ class PPOConfig:
     # the matmuls on the MXU fast path; params and the policy math (neglogp,
     # KL, losses) stay float32 either way
     network_dtype: str = "float32"
+    # exploration floor on the policy sigma (see models/networks.py): -20
+    # disables it (rl_games parity); the D4 presets use log(0.2) ~ -1.61 to
+    # prevent the premature entropy collapse that kills orientation discovery
+    log_std_min: float = -20.0
     # emit per-stage finiteness flags + magnitudes (nan/* metrics) to locate
     # the first non-finite tensor in the rollout->GAE->update pipeline
     nan_telemetry: bool = False
@@ -127,6 +131,7 @@ class PPOConfig:
                 else "float32"
             ),
             nan_telemetry=bool(c.get("nan_telemetry", False)),
+            log_std_min=float(c.get("log_std_min", -20.0)),
         )
 
 
@@ -152,7 +157,8 @@ def make_networks(cfg: PPOConfig, static: EnvStatic):
 
     dtype = _jnp.bfloat16 if cfg.network_dtype == "bfloat16" else _jnp.float32
     actor_critic = ActorCritic(
-        action_dim=static.action_dim, units=cfg.units, dtype=dtype
+        action_dim=static.action_dim, units=cfg.units, dtype=dtype,
+        log_std_min=cfg.log_std_min,
     )
     central_value = CentralValue(units=cfg.units, dtype=dtype) if (
         cfg.central_value and static.asymmetric_obs
@@ -312,16 +318,35 @@ def train_iteration(
     def flat(x):
         return x.reshape((batch,) + x.shape[2:])
 
-    f_obs, f_states, f_action, f_mu, f_log_std, f_neglogp, f_value = map(
-        flat, (b_obs, b_states, b_action, b_mu, b_log_std, b_neglogp, b_value)
-    )
-    f_returns, f_advs = flat(returns), flat(advs)
-    if cfg.normalize_advantage:
-        f_advs = (f_advs - f_advs.mean()) / (f_advs.std() + 1e-8)
-
     # ---------------- actor-critic minibatch updates -------------------------
     num_mb = max(batch // cfg.minibatch_size, 1)
     mb_size = batch // num_mb
+
+    # Sharding-aware minibatching (VERDICT round-1 item 5): flattening
+    # (h, n, d) time-major and gathering a GLOBAL random permutation forces
+    # the SPMD partitioner to all-gather the entire trajectory onto every
+    # device of a data mesh (observed: obs/states/actions/advantages gathered
+    # per epoch), degenerating the learner to replicated compute. Instead,
+    # keep the env axis (the sharded one) outermost and shuffle time
+    # PER ENV: each mini-epoch draws an independent permutation of the
+    # horizon for every env, and minibatch i takes time slice
+    # [i*k, (i+1)*k) — a slice on the REPLICATED axis. Every sample is still
+    # used exactly once per mini-epoch (a stratified shuffle: one random
+    # timestep subset per env per minibatch); the only collectives left are
+    # the per-minibatch gradient/metric all-reduces. Falls back to the
+    # rl_games-exact global shuffle when num_mb does not divide the horizon.
+    time_sliced = cfg.shuffle_minibatches and num_mb <= h and h % num_mb == 0
+
+    if cfg.normalize_advantage:
+        advs = (advs - advs.mean()) / (advs.std() + 1e-8)
+
+    if not time_sliced:
+        f_obs, f_states, f_action, f_mu, f_log_std, f_neglogp, f_value = map(
+            flat, (b_obs, b_states, b_action, b_mu, b_log_std, b_neglogp, b_value)
+        )
+        f_returns, f_advs = flat(returns), flat(advs)
+    else:
+        f_states, f_returns = b_states, returns  # env-major'd below for cv
 
     def loss_fn(ac_params, mb, lr_unused):
         mu, log_std, value = actor_critic.apply(ac_params, mb["obs"])
@@ -355,42 +380,82 @@ def train_iteration(
         kl = gaussian_kl(mb["mu"], mb["log_std"], mu, log_std)
         return total, (a_loss, c_loss, entropy, b_loss, kl)
 
-    data = {
-        "obs": f_obs, "action": f_action, "mu": f_mu, "log_std": f_log_std,
-        "neglogp": f_neglogp, "advs": f_advs, "returns": f_returns,
-        "value": f_value,
-    }
+    if time_sliced:
+        # env-major (n, h, ...) — sharded env axis outermost
+        data = {
+            "obs": b_obs, "action": b_action, "mu": b_mu,
+            "log_std": b_log_std, "neglogp": b_neglogp, "advs": advs,
+            "returns": returns, "value": b_value,
+        }
+        data = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), data)
+        k_slice = h // num_mb  # timesteps per env per minibatch
 
-    def mb_update(carry, idx):
-        ac_params, opt_state, lr, key = carry
-        mb = jax.tree.map(lambda x: jnp.take(x, idx, axis=0), data)
-        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            ac_params, mb, lr
-        )
-        updates, opt_state = ac_tx.update(grads, opt_state, ac_params)
-        ac_params = optax.apply_updates(ac_params, _apply_lr(updates, lr))
-        a_loss, c_loss, entropy, b_loss, kl = aux
-        if cfg.lr_schedule == "adaptive":
-            lr = jnp.where(kl > 2.0 * cfg.kl_threshold,
-                           jnp.maximum(lr / 1.5, cfg.min_lr), lr)
-            lr = jnp.where(kl < 0.5 * cfg.kl_threshold,
-                           jnp.minimum(lr * 1.5, cfg.max_lr), lr)
-        mb_out = (total, a_loss, c_loss, entropy, kl)
-        if cfg.nan_telemetry:
-            mb_out = mb_out + (optax.global_norm(grads),)
-        return (ac_params, opt_state, lr, key), mb_out
+        def shuffle_time(d, k_perm):
+            # independent permutation of the horizon per env: argsort of
+            # uniforms along the (replicated) time axis — no cross-env comm
+            perm = jnp.argsort(jax.random.uniform(k_perm, (n, h)), axis=1)
+
+            def tk(x):
+                idx = perm.reshape((n, h) + (1,) * (x.ndim - 2))
+                return jnp.take_along_axis(
+                    x, jnp.broadcast_to(idx, x.shape), axis=1
+                )
+
+            return jax.tree.map(tk, d)
+    else:
+        data = {
+            "obs": f_obs, "action": f_action, "mu": f_mu, "log_std": f_log_std,
+            "neglogp": f_neglogp, "advs": f_advs, "returns": f_returns,
+            "value": f_value,
+        }
+
+    def mb_update_on(shuffled):
+        def mb_update(carry, idx):
+            ac_params, opt_state, lr, key = carry
+            if time_sliced:
+                # idx = minibatch number; slice the replicated time axis
+                mb = jax.tree.map(
+                    lambda x: jax.lax.dynamic_slice_in_dim(
+                        x, idx * k_slice, k_slice, axis=1
+                    ),
+                    shuffled,
+                )
+            else:
+                mb = jax.tree.map(lambda x: jnp.take(x, idx, axis=0), shuffled)
+            (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                ac_params, mb, lr
+            )
+            updates, opt_state = ac_tx.update(grads, opt_state, ac_params)
+            ac_params = optax.apply_updates(ac_params, _apply_lr(updates, lr))
+            a_loss, c_loss, entropy, b_loss, kl = aux
+            if cfg.lr_schedule == "adaptive":
+                lr = jnp.where(kl > 2.0 * cfg.kl_threshold,
+                               jnp.maximum(lr / 1.5, cfg.min_lr), lr)
+                lr = jnp.where(kl < 0.5 * cfg.kl_threshold,
+                               jnp.minimum(lr * 1.5, cfg.max_lr), lr)
+            mb_out = (total, a_loss, c_loss, entropy, kl)
+            if cfg.nan_telemetry:
+                mb_out = mb_out + (optax.global_norm(grads),)
+            return (ac_params, opt_state, lr, key), mb_out
+
+        return mb_update
 
     ac_params, ac_opt_state, lr = ts.ac_params, ts.ac_opt_state, ts.lr
     metrics_acc = []
     for _ in range(cfg.mini_epochs):
         key, k_perm = jax.random.split(key)
-        if cfg.shuffle_minibatches:
-            perm = jax.random.permutation(k_perm, batch)
+        if time_sliced:
+            shuffled = shuffle_time(data, k_perm)
+            idxs = jnp.arange(num_mb)
         else:
-            perm = jnp.arange(batch)
-        idxs = perm[: num_mb * mb_size].reshape(num_mb, mb_size)
+            if cfg.shuffle_minibatches:
+                perm = jax.random.permutation(k_perm, batch)
+            else:
+                perm = jnp.arange(batch)
+            shuffled = data
+            idxs = perm[: num_mb * mb_size].reshape(num_mb, mb_size)
         (ac_params, ac_opt_state, lr, key), ep_metrics = jax.lax.scan(
-            mb_update, (ac_params, ac_opt_state, lr, key), idxs
+            mb_update_on(shuffled), (ac_params, ac_opt_state, lr, key), idxs
         )
         metrics_acc.append(ep_metrics)
 
@@ -414,27 +479,53 @@ def train_iteration(
     if asym:
         cv_num_mb = max(batch // cfg.cv_minibatch_size, 1)
         cv_mb = batch // cv_num_mb
+        cv_time_sliced = time_sliced and cv_num_mb <= h and h % cv_num_mb == 0
 
         def cv_loss_fn(p, s, r):
             v = central_value.apply(p, s)
             return jnp.mean(jnp.square(v - r))
 
-        def cv_update(carry, idx):
-            p, opt, key = carry
-            s = jnp.take(f_states, idx, axis=0)
-            r = jnp.take(f_returns, idx, axis=0)
-            loss, grads = jax.value_and_grad(cv_loss_fn)(p, s, r)
-            updates, opt = cv_tx.update(grads, opt, p)
-            p = optax.apply_updates(p, _apply_lr(updates, jnp.asarray(cfg.cv_learning_rate)))
-            return (p, opt, key), loss
+        if cv_time_sliced:
+            cv_data = {
+                "s": jnp.swapaxes(f_states, 0, 1),
+                "r": jnp.swapaxes(f_returns, 0, 1),
+            }
+            cv_k = h // cv_num_mb
+        else:
+            cv_data = {"s": flat(f_states), "r": flat(f_returns)} \
+                if time_sliced else {"s": f_states, "r": f_returns}
+
+        def cv_update_on(shuffled):
+            def cv_update(carry, idx):
+                p, opt, key = carry
+                if cv_time_sliced:
+                    s = jax.lax.dynamic_slice_in_dim(
+                        shuffled["s"], idx * cv_k, cv_k, axis=1)
+                    r = jax.lax.dynamic_slice_in_dim(
+                        shuffled["r"], idx * cv_k, cv_k, axis=1)
+                else:
+                    s = jnp.take(shuffled["s"], idx, axis=0)
+                    r = jnp.take(shuffled["r"], idx, axis=0)
+                loss, grads = jax.value_and_grad(cv_loss_fn)(p, s, r)
+                updates, opt = cv_tx.update(grads, opt, p)
+                p = optax.apply_updates(
+                    p, _apply_lr(updates, jnp.asarray(cfg.cv_learning_rate)))
+                return (p, opt, key), loss
+
+            return cv_update
 
         losses = []
         for _ in range(cfg.cv_mini_epochs):
             key, k_perm = jax.random.split(key)
-            perm = jax.random.permutation(k_perm, batch)
-            idxs = perm[: cv_num_mb * cv_mb].reshape(cv_num_mb, cv_mb)
+            if cv_time_sliced:
+                shuffled = shuffle_time(cv_data, k_perm)
+                idxs = jnp.arange(cv_num_mb)
+            else:
+                perm = jax.random.permutation(k_perm, batch)
+                shuffled = cv_data
+                idxs = perm[: cv_num_mb * cv_mb].reshape(cv_num_mb, cv_mb)
             (cv_params, cv_opt_state, key), ls = jax.lax.scan(
-                cv_update, (cv_params, cv_opt_state, key), idxs
+                cv_update_on(shuffled), (cv_params, cv_opt_state, key), idxs
             )
             losses.append(ls)
         cv_loss_mean = jnp.mean(jnp.stack(losses))

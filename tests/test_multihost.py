@@ -42,3 +42,52 @@ def test_two_process_training():
         losses.append(float(m.group(1)))
     # replicated learner must agree exactly across processes
     assert losses[0] == losses[1], losses
+
+
+def test_train_step_collectives_on_data_mesh():
+    """The compiled PPO train step on an 8-device data mesh must keep the
+    batch sharded end-to-end: ZERO all-gather / all-to-all /
+    collective-permute (the round-1 global-permutation minibatch path
+    all-gathered the entire trajectory to every device), and only a bounded
+    set of all-reduces (per-minibatch gradients + scalar metrics)."""
+    import numpy as np
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from leibnizgym_tpu.envs.trifinger.env import TrifingerEnv
+    from leibnizgym_tpu.learning.ppo import (
+        PPOConfig, init_train_state, train_iteration,
+    )
+    from leibnizgym_tpu.parallel.mesh import shard_batch_pytree
+
+    ndev = len(jax.devices())
+    assert ndev == 8  # conftest forces 8 virtual CPU devices
+    n = 8 * ndev
+    env = TrifingerEnv(
+        config={"num_instances": n, "command_mode": "torque",
+                "asymmetric_obs": True, "sim": {"substeps": 2}},
+        verbose=False,
+    )
+    static, params = env.static, env.params
+    mesh = Mesh(np.asarray(jax.devices()), axis_names=("data",))
+    cfg = PPOConfig(horizon=2, minibatch_size=n, mini_epochs=1,
+                    cv_minibatch_size=n, cv_mini_epochs=1)
+    ts = init_train_state(cfg, static, params, jax.random.PRNGKey(0))
+    ts = ts.replace(
+        env_state=shard_batch_pytree(ts.env_state, mesh, n),
+        obs=jax.device_put(ts.obs, NamedSharding(mesh, P("data"))),
+        states=jax.device_put(ts.states, NamedSharding(mesh, P("data"))),
+        ep_return=jax.device_put(ts.ep_return, NamedSharding(mesh, P("data"))),
+        ep_len=jax.device_put(ts.ep_len, NamedSharding(mesh, P("data"))),
+    )
+    hlo = (
+        jax.jit(train_iteration, static_argnums=(0, 1))
+        .lower(cfg, static, params, ts)
+        .compile()
+        .as_text()
+    )
+    for banned in ["all-gather(", "all-gather-start(", "all-to-all(",
+                   "collective-permute("]:
+        assert hlo.count(banned) == 0, f"unexpected {banned} in train step"
+    n_ar = hlo.count("all-reduce(") + hlo.count("all-reduce-start(")
+    assert 0 < n_ar <= 16, f"all-reduce count {n_ar} outside expected bound"
