@@ -167,6 +167,14 @@ _D4_CURRICULUM_EXTRA = {
             "tolerance_anneal_frames": 2e9,
         }
     },
+    # goal-orientation difficulty ramp: start with random-yaw-only goals
+    # (swing scaled to 0.2) and grow to fully random orientations by 4e9
+    # env-steps, so the success bonus is reachable while the policy is still
+    # learning to grasp (round-2 fix for the orientation-never-learns result)
+    "goal_curriculum": {
+        "orientation_difficulty_init": 0.2,
+        "anneal_frames": 4e9,
+    },
 }
 
 GYM_PRESETS: Dict[str, Dict[str, Any]] = {

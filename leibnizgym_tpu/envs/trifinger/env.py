@@ -102,6 +102,13 @@ class EnvStatic:
     position_tolerance_init: float
     orientation_tolerance_init: float
     tolerance_anneal_frames: float
+    # goal-orientation difficulty curriculum (TPU-build extension): for
+    # difficulties 4/5/6, scale the out-of-plane (swing) component of sampled
+    # goal orientations from ori_difficulty_init -> 1.0 linearly over
+    # [0, ori_difficulty_anneal_frames] env-steps; 0 disables (reference
+    # behavior: fully random goal orientations from the first episode)
+    ori_difficulty_init: float
+    ori_difficulty_anneal_frames: float
     dones_mode: str
     control_decimation: int
     dt: float
@@ -265,6 +272,12 @@ def build_static(config: dict) -> EnvStatic:
             term.get("orientation_tolerance_init", term["orientation_tolerance"])
         ),
         tolerance_anneal_frames=float(term.get("tolerance_anneal_frames", 0.0)),
+        ori_difficulty_init=float(
+            config.get("goal_curriculum", {}).get("orientation_difficulty_init", 1.0)
+        ),
+        ori_difficulty_anneal_frames=float(
+            config.get("goal_curriculum", {}).get("anneal_frames", 0.0)
+        ),
         dones_mode=str(config.get("dones_mode", "and")),
         control_decimation=int(config["control_decimation"]),
         dt=float(sim["dt"]),
@@ -447,8 +460,17 @@ def _sample_object_state(static: EnvStatic, params: EnvParams, u: jax.Array, n: 
     return jnp.concatenate([pos, quat, jnp.zeros((n, 6))], axis=-1)
 
 
+def _ori_difficulty_frac(static: EnvStatic, frames: jax.Array):
+    """Goal-orientation curriculum fraction in [init, 1]; None when off."""
+    if static.ori_difficulty_anneal_frames <= 0.0:
+        return None
+    env_steps = frames.astype(jnp.float32) * static.num_envs
+    t = jnp.clip(env_steps / static.ori_difficulty_anneal_frames, 0.0, 1.0)
+    return static.ori_difficulty_init + t * (1.0 - static.ori_difficulty_init)
+
+
 def _sample_goal_poses(static: EnvStatic, params: EnvParams,
-                       u: jax.Array, norm, n: int):
+                       u: jax.Array, norm, n: int, ori_frac=None):
     """Per-difficulty goal sampling (reference trifinger_env.py:1194-1265)."""
     d = static.task_difficulty
     u_xy = u[:, 21:23]
@@ -486,6 +508,8 @@ def _sample_goal_poses(static: EnvStatic, params: EnvParams,
         ori = sampling.random_orientation_from_normal(norm[:, 0:4])
     else:
         raise ValueError(f"Invalid difficulty index for task: {d}.")
+    if ori_frac is not None and d in (4, 5, 6):
+        ori = sampling.scale_orientation_swing(ori, ori_frac)
     pose = jnp.concatenate([jnp.stack([x, y, z], axis=-1), ori], axis=-1)
     if static.goal_rotation_active:
         angvel = sampling.random_angular_vel_from_normal(
@@ -668,7 +692,10 @@ def _masked_full_reset(
     u, norm = _draw_reset_randoms(static, key, n)
     q_s, qd_s = _sample_robot_state(static, params, u, n)
     obj_s = _sample_object_state(static, params, u, n)
-    goal_s, angvel_s = _sample_goal_poses(static, params, u, norm, n)
+    goal_s, angvel_s = _sample_goal_poses(
+        static, params, u, norm, n,
+        ori_frac=_ori_difficulty_frac(static, state.frames),
+    )
 
     m1 = mask[:, None]
     physics = state.physics
@@ -730,7 +757,10 @@ def _masked_goal_reset(
 ) -> EnvState:
     n = static.num_envs
     u, norm = _draw_reset_randoms(static, key, n)
-    goal_s, angvel_s = _sample_goal_poses(static, params, u, norm, n)
+    goal_s, angvel_s = _sample_goal_poses(
+        static, params, u, norm, n,
+        ori_frac=_ori_difficulty_frac(static, state.frames),
+    )
     m1 = mask[:, None]
     return state.replace(
         goal_pose=jnp.where(m1, goal_s, state.goal_pose),

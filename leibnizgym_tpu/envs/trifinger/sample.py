@@ -91,3 +91,44 @@ def random_angular_vel_from_normal(n4: jax.Array, magnitude_stdev) -> jax.Array:
     axis = n4[:, 0:3]
     axis = axis / jnp.linalg.norm(axis, axis=-1, keepdims=True)
     return axis * (n4[:, 3:4] * magnitude_stdev)
+
+
+def scale_orientation_swing(quat: jax.Array, frac) -> jax.Array:
+    """Orientation-difficulty curriculum: shrink the out-of-plane (swing)
+    component of ``quat`` by ``frac`` in [0, 1], keeping the yaw (twist about
+    z) component intact.
+
+    Swing-twist decomposition: q = q_swing * q_twist with
+    q_twist = normalize([0, 0, q.z, q.w]) (xyzw layout). The swing rotation's
+    angle is scaled by ``frac`` (slerp from identity). frac=0 -> random-yaw
+    goals (cube can be pivoted on the table, the "easy" orientation task of
+    reference difficulty -1); frac=1 -> the fully random orientations of
+    reference difficulty 4/5 (trifinger_env.py:1194-1265). Extension beyond
+    the reference, used by the trifinger_difficulty_4_curriculum preset."""
+    x, y, z, w = quat[..., 0], quat[..., 1], quat[..., 2], quat[..., 3]
+    tw_norm = jnp.sqrt(z * z + w * w)
+    # degenerate twist (rotation by pi about an axis in the xy-plane):
+    # fall back to identity twist
+    safe = tw_norm > 1e-6
+    tz = jnp.where(safe, z / jnp.maximum(tw_norm, 1e-6), 0.0)
+    tw = jnp.where(safe, w / jnp.maximum(tw_norm, 1e-6), 1.0)
+    # q_swing = q * conj(q_twist); conj twist = (0, 0, -tz, tw)
+    sx = x * tw - y * tz
+    sy = y * tw + x * tz
+    sz = z * tw - w * tz
+    sw = w * tw + z * tz
+    # scale the swing angle: theta' = frac * theta about the same axis
+    s_vec_norm = jnp.sqrt(sx * sx + sy * sy + sz * sz)
+    half = jnp.arctan2(s_vec_norm, sw)  # in [0, pi)
+    new_half = frac * half
+    scale = jnp.where(
+        s_vec_norm > 1e-6, jnp.sin(new_half) / jnp.maximum(s_vec_norm, 1e-6), 0.0
+    )
+    nsx, nsy, nsz, nsw = sx * scale, sy * scale, sz * scale, jnp.cos(new_half)
+    # recompose: q' = q_swing' * q_twist
+    ox = nsx * tw + nsy * tz
+    oy = nsy * tw - nsx * tz
+    oz = nsz * tw + nsw * tz
+    ow = nsw * tw - nsz * tz
+    out = jnp.stack([ox, oy, oz, ow], axis=-1)
+    return out / jnp.linalg.norm(out, axis=-1, keepdims=True)

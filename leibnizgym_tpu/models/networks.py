@@ -39,6 +39,12 @@ class ActorCritic(nn.Module):
     units: Sequence[int] = (400, 200, 100)
     dtype: jnp.dtype = jnp.float32
     mu_init_scale: float = 0.02
+    # Exploration floor: sigma >= exp(log_std_min). rl_games has no floor
+    # (default here is effectively none); difficulty-4 training collapses to a
+    # near-deterministic policy (entropy 12.8 -> -11) long before orientation
+    # behavior is discovered, so the D4 presets set a floor of ~0.2.
+    log_std_min: float = -20.0
+    log_std_max: float = 2.0
 
     @nn.compact
     def __call__(self, obs):
@@ -55,6 +61,7 @@ class ActorCritic(nn.Module):
         log_std = self.param(
             "log_std", nn.initializers.zeros, (self.action_dim,)
         )
+        log_std = jnp.clip(log_std, self.log_std_min, self.log_std_max)
         critic_h = _mlp(obs, self.units, self.dtype, hidden_init, prefix="critic")
         value = nn.Dense(
             1, dtype=self.dtype, kernel_init=hidden_init, name="value"

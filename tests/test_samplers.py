@@ -51,3 +51,34 @@ def test_random_angular_vel_stats():
     mag = np.linalg.norm(av, axis=-1)
     # |N(0, 0.5)| has mean 0.5*sqrt(2/pi) ~ 0.399
     assert abs(mag.mean() - 0.5 * np.sqrt(2 / np.pi)) < 0.02
+
+
+def test_scale_orientation_swing_endpoints():
+    """frac=1 is the identity map; frac=0 leaves a pure-yaw quaternion."""
+    q = np.asarray(s.random_orientation(jax.random.PRNGKey(7), 512))
+    q1 = np.asarray(s.scale_orientation_swing(jnp.asarray(q), 1.0))
+    # same rotation (quaternion sign may flip)
+    dot = np.abs(np.sum(q * q1, axis=-1))
+    assert np.allclose(dot, 1.0, atol=1e-5)
+    q0 = np.asarray(s.scale_orientation_swing(jnp.asarray(q), 0.0))
+    assert np.allclose(q0[:, 0], 0.0, atol=1e-5)  # x = 0: yaw only
+    assert np.allclose(q0[:, 1], 0.0, atol=1e-5)
+    assert np.allclose(np.linalg.norm(q0, axis=-1), 1.0, atol=1e-5)
+
+
+def test_scale_orientation_swing_monotone_tilt():
+    """The z-axis tilt angle grows monotonically with frac, and the yaw
+    (twist) component is preserved for every frac."""
+    from scipy.spatial.transform import Rotation as R
+
+    q = np.asarray(s.random_orientation(jax.random.PRNGKey(8), 256))
+    prev_tilt = np.zeros(256)
+    for frac in (0.0, 0.25, 0.5, 0.75, 1.0):
+        qf = np.asarray(s.scale_orientation_swing(jnp.asarray(q), frac))
+        z_rot = R.from_quat(qf).apply([0, 0, 1.0])
+        tilt = np.arccos(np.clip(z_rot[:, 2], -1, 1))
+        assert np.all(tilt >= prev_tilt - 1e-4), f"tilt not monotone at {frac}"
+        prev_tilt = tilt
+    # frac=1 recovers the original tilt
+    z_orig = R.from_quat(q).apply([0, 0, 1.0])
+    assert np.allclose(prev_tilt, np.arccos(np.clip(z_orig[:, 2], -1, 1)), atol=1e-4)
