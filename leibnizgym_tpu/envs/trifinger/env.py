@@ -46,22 +46,15 @@ from leibnizgym_tpu.envs.trifinger.dims import (
 from leibnizgym_tpu.envs.trifinger.rewards import (
     RewardTermSpec,
     build_reward_specs,
-    compute_rewards,
+    compute_rewards_c,
+    quat_diff_rad_c,
 )
 from leibnizgym_tpu.models import trifinger as tf_model
 from leibnizgym_tpu.ops.engine import physics_step
 from leibnizgym_tpu.ops.engine_v2 import physics_step_v2
-from leibnizgym_tpu.ops.kinematics import (
-    MOUNT_ROTS,
-    all_tips_world,
-    tip_angular_velocity,
-    tip_jacobian,
-)
 from leibnizgym_tpu.ops.types import PhysicsState, SceneParams, SolverConfig
 from leibnizgym_tpu.utils import merged_dict, print_info
 from leibnizgym_tpu.utils.math import (
-    matrix_to_quat,
-    quat_diff_rad,
     quat_integrate,
     saturate,
     scale_transform,
@@ -173,24 +166,37 @@ class EnvParams:
 
 @struct.dataclass
 class EnvState:
-    """Full environment state (batched over the env axis)."""
+    """Full environment state (batched over the env axis).
+
+    Layout note (TPU): fields suffixed ``_cm`` are component-major — shape
+    (k, N) with the env axis in the 128-wide lane dimension — because (N, k)
+    arrays with k << 128 pad k up to full lanes (e.g. the round-1 (N, 2, 3,
+    13) fingertip history materialized 67 MB of padded HBM traffic per step
+    for 2.5 MB of data). Only what the MDP layer actually consumes is kept:
+    previous tip positions and previous object pose (the reference's 2-deep
+    state history, trifinger_env.py:974-975, reduced to its read set)."""
 
     physics: PhysicsState  # (N, ...)
     scene: SceneParams  # (N, ...) per-env physics params (DR surface)
     pd_scale: jax.Array  # (N, 2) DR scale on (pd_stiffness, pd_damping)
-    goal_pose: jax.Array  # (N, 7)
-    goal_angvel: jax.Array  # (N, 3)
+    goal_pose_cm: jax.Array  # (7, N) [x y z qx qy qz qw]
+    goal_angvel_cm: jax.Array  # (3, N)
     action_buf: jax.Array  # (N, A)
     applied_torque: jax.Array  # (N, 9)
-    tip_wrench: jax.Array  # (N, 3, 6)
+    tip_wrench: jax.Array  # (N, 18) [f0: force3 torque3 | f1 | f2]
     reset_buf: jax.Array  # (N,) bool
     goal_reset_buf: jax.Array  # (N,) bool
     steps_count: jax.Array  # (N,) int32
     successes: jax.Array  # (N,) int32
-    fingertip_hist: jax.Array  # (N, 2, 3, 13), [*, 0] = t, [*, 1] = t-1
-    object_hist: jax.Array  # (N, 2, 13)
+    tip_pos_prev_cm: jax.Array  # (9, N) previous-step world tip xyz, finger-major
+    obj_posquat_prev_cm: jax.Array  # (7, N) previous-step object pos+quat
     frames: jax.Array  # () int32 — simulator frame counter
     key: jax.Array  # PRNG key
+
+    @property
+    def goal_pose(self) -> jax.Array:
+        """(N, 7) view of the goal pose (row-major convenience accessor)."""
+        return self.goal_pose_cm.T
 
 
 # ---------------------------------------------------------------------------
@@ -443,21 +449,21 @@ def _sample_robot_state(static: EnvStatic, params: EnvParams, u: jax.Array, n: i
 
 
 def _sample_object_state(static: EnvStatic, params: EnvParams, u: jax.Array, n: int):
+    """Returns (pos 3-tuple, quat 4-tuple) of (N,) component columns."""
     if static.object_reset_type == "default":
-        pos = jnp.broadcast_to(
-            jnp.stack([jnp.zeros(()), jnp.zeros(()), params.object_min_height]), (n, 3)
-        )
+        z = jnp.broadcast_to(params.object_min_height, (n,))
+        pos = (jnp.zeros(n), jnp.zeros(n), z)
         quat = sampling.default_orientation(n)
     elif static.object_reset_type in ("random", "none"):
         x, y = sampling.random_xy_from_uniform(u[:, 18:20], params.max_com_distance)
         z = jnp.broadcast_to(params.object_size_z / 2, (n,))
-        pos = jnp.stack([x, y, z], axis=-1)
+        pos = (x, y, z)
         quat = sampling.random_yaw_orientation_from_uniform(u[:, 20])
     else:
         raise ValueError(
             f"Invalid object reset distribution: {static.object_reset_type!r}"
         )
-    return jnp.concatenate([pos, quat, jnp.zeros((n, 6))], axis=-1)
+    return pos, tuple(quat[:, i] for i in range(4))
 
 
 def _ori_difficulty_frac(static: EnvStatic, frames: jax.Array):
@@ -471,7 +477,9 @@ def _ori_difficulty_frac(static: EnvStatic, frames: jax.Array):
 
 def _sample_goal_poses(static: EnvStatic, params: EnvParams,
                        u: jax.Array, norm, n: int, ori_frac=None):
-    """Per-difficulty goal sampling (reference trifinger_env.py:1194-1265)."""
+    """Per-difficulty goal sampling (reference trifinger_env.py:1194-1265).
+
+    Returns ``(pose_cm (7, N), angvel_cm (3, N))`` component-major arrays."""
     d = static.task_difficulty
     u_xy = u[:, 21:23]
     u_z = u[:, 23]
@@ -510,14 +518,15 @@ def _sample_goal_poses(static: EnvStatic, params: EnvParams,
         raise ValueError(f"Invalid difficulty index for task: {d}.")
     if ori_frac is not None and d in (4, 5, 6):
         ori = sampling.scale_orientation_swing(ori, ori_frac)
-    pose = jnp.concatenate([jnp.stack([x, y, z], axis=-1), ori], axis=-1)
+    pose_cm = jnp.stack([x, y, z, ori[:, 0], ori[:, 1], ori[:, 2], ori[:, 3]])
     if static.goal_rotation_active:
         angvel = sampling.random_angular_vel_from_normal(
             norm[:, 4:8], static.goal_rate_magnitude
         )
+        angvel_cm = angvel.T
     else:
-        angvel = jnp.zeros((n, 3))
-    return pose, angvel
+        angvel_cm = jnp.zeros((3, n))
+    return pose_cm, angvel_cm
 
 
 # ---------------------------------------------------------------------------
@@ -587,63 +596,74 @@ def _simulate(static: EnvStatic, physics: PhysicsState, tau: jax.Array,
     return physics, wrench
 
 
-def _fingertip_object_states(static: EnvStatic, physics: PhysicsState):
-    """Fingertip 13-dim states (N, 3, 13) and object state (N, 13)."""
-    if static.engine == "soa":
-        from leibnizgym_tpu.ops.engine_v2 import fingertip_states_v2
+def _fingertip_components(physics: PhysicsState):
+    """Fingertip state components — 3-tuple of (pos3, quat4, lin3, ang3)
+    component tuples of (N,) columns, via the scalar FK path (engine_v2
+    discipline: no (N, 3, 13) lane-padded tensors). The scalar FK is pure
+    kinematics from q/qd and therefore engine-independent."""
+    from leibnizgym_tpu.ops.engine_v2 import fingertip_components_v2
 
-        fingertip_state = jax.vmap(fingertip_states_v2)(physics.q, physics.qd)
-    else:
-        tips_w, tip_rot_w, fk = all_tips_world(physics.q)
-        qd_f = physics.qd.reshape(physics.qd.shape[:-1] + (3, 3))
-        jac_local = tip_jacobian(fk)
-        jac_w = jnp.einsum("fij,...fjk->...fik", MOUNT_ROTS, jac_local)
-        tip_linvel = jnp.einsum("...fij,...fj->...fi", jac_w, qd_f)
-        tip_angvel_local = tip_angular_velocity(fk, qd_f)
-        tip_angvel = jnp.einsum("fij,...fj->...fi", MOUNT_ROTS, tip_angvel_local)
-        tip_quat = matrix_to_quat(tip_rot_w)
-        fingertip_state = jnp.concatenate(
-            [tips_w, tip_quat, tip_linvel, tip_angvel], axis=-1
-        )
-    object_state = jnp.concatenate(
-        [physics.cube_pos, physics.cube_quat, physics.cube_linvel, physics.cube_angvel],
-        axis=-1,
+    q_cols = tuple(physics.q[:, i] for i in range(9))
+    qd_cols = tuple(physics.qd[:, i] for i in range(9))
+    return fingertip_components_v2(q_cols, qd_cols)
+
+
+def _object_components(physics: PhysicsState):
+    """(pos3, quat4, linvel3, angvel3) component tuples of the object."""
+    return (
+        tuple(physics.cube_pos[:, i] for i in range(3)),
+        tuple(physics.cube_quat[:, i] for i in range(4)),
+        tuple(physics.cube_linvel[:, i] for i in range(3)),
+        tuple(physics.cube_angvel[:, i] for i in range(3)),
     )
-    return fingertip_state, object_state
 
 
-_KP_SIGNS = jnp.array(
-    [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0) for sz in (-1.0, 1.0)]
+_KP_SIGN_TUPLES = tuple(
+    (sx, sy, sz) for sx in (-1.0, 1.0) for sy in (-1.0, 1.0) for sz in (-1.0, 1.0)
 )
 
 
-def _cube_keypoints(pos: jax.Array, quat: jax.Array, half: jax.Array) -> jax.Array:
-    """8 cube-corner world positions, flattened (..., 24)."""
-    from leibnizgym_tpu.utils.math import quat_rotate
+def _cube_keypoint_cols(pos, quat, half):
+    """24 component columns: 8 cube-corner world positions, corner-major —
+    all inputs component tuples of (N,) columns."""
+    from leibnizgym_tpu.envs.trifinger.rewards import quat_rotate_c
 
-    corners_local = _KP_SIGNS * half[..., None, :]  # (..., 8, 3)
-    corners = pos[..., None, :] + quat_rotate(quat[..., None, :], corners_local)
-    return corners.reshape(corners.shape[:-2] + (24,))
+    cols = []
+    for sx, sy, sz in _KP_SIGN_TUPLES:
+        local = (sx * half[0], sy * half[1], sz * half[2])
+        cx, cy, cz = quat_rotate_c(quat, local)
+        cols.extend((pos[0] + cx, pos[1] + cy, pos[2] + cz))
+    return cols
 
 
 def _assemble_obs_raw(
     static: EnvStatic, state_scene: SceneParams, physics: PhysicsState,
-    object_state: jax.Array, goal_pose: jax.Array, action_buf: jax.Array,
+    obj_pos, obj_quat, goal_pos, goal_quat, action_buf: jax.Array,
 ):
-    parts = [physics.q, physics.qd, object_state[..., 0:7], goal_pose, action_buf]
+    """Unnormalized observation (N, 41|50|89|98): [q | qd | object pose |
+    goal pose | action (| object keypoints | goal keypoints)]. Component
+    columns are stacked once at the end — the only (N, obs_dim) tensor
+    the obs path materializes."""
+    pose_cols = list(obj_pos) + list(obj_quat) + list(goal_pos) + list(goal_quat)
     if static.use_keypoint_obs:
-        half = state_scene.cube_half_extents
-        parts.append(_cube_keypoints(physics.cube_pos, physics.cube_quat, half))
-        parts.append(_cube_keypoints(goal_pose[..., 0:3], goal_pose[..., 3:7], half))
+        half = tuple(state_scene.cube_half_extents[:, i] for i in range(3))
+        kp_cols = _cube_keypoint_cols(obj_pos, obj_quat, half) + \
+            _cube_keypoint_cols(goal_pos, goal_quat, half)
+        parts = [physics.q, physics.qd, jnp.stack(pose_cols, axis=-1),
+                 action_buf, jnp.stack(kp_cols, axis=-1)]
+    else:
+        parts = [physics.q, physics.qd, jnp.stack(pose_cols, axis=-1), action_buf]
     return jnp.concatenate(parts, axis=-1)
 
 
 def _fill_observations(
     static: EnvStatic, params: EnvParams, physics: PhysicsState,
-    object_state: jax.Array, goal_pose: jax.Array, action_buf: jax.Array,
+    obj_pos, obj_quat, goal_pos, goal_quat, action_buf: jax.Array,
     scene: SceneParams,
 ):
-    obs = _assemble_obs_raw(static, scene, physics, object_state, goal_pose, action_buf)
+    obs = _assemble_obs_raw(
+        static, scene, physics, obj_pos, obj_quat, goal_pos, goal_quat, action_buf
+    )
     if static.normalize_obs:
         obs = scale_transform(obs, params.obs_scale_low, params.obs_scale_high)
     return obs
@@ -651,23 +671,30 @@ def _fill_observations(
 
 def _fill_states(
     static: EnvStatic, params: EnvParams, obs_raw: jax.Array,
-    object_state: jax.Array, fingertip_state: jax.Array,
+    obj_linvel, obj_angvel, tips,
     applied_torque: jax.Array, tip_wrench: jax.Array,
 ):
     """Asymmetric 113-dim privileged state (reference trifinger_env.py:1021-1051).
 
     ``obs_raw`` must be the *unnormalized* observation (the reference copies
-    the obs buffer before normalization happens in place)."""
+    the obs buffer before normalization happens in place). ``tips`` is the
+    fingertip component structure from :func:`_fingertip_components`;
+    ``tip_wrench`` is (N, 18)."""
     if not static.asymmetric_obs:
         return jnp.zeros(obs_raw.shape[:-1] + (0,))
-    n = obs_raw.shape[0]
+    tip_cols = []
+    for (tp, tq, tl, ta) in tips:
+        tip_cols.extend(tp)
+        tip_cols.extend(tq)
+        tip_cols.extend(tl)
+        tip_cols.extend(ta)
     states = jnp.concatenate(
         [
             obs_raw,
-            object_state[..., 7:13],
-            fingertip_state.reshape(n, 39),
+            jnp.stack(list(obj_linvel) + list(obj_angvel), axis=-1),
+            jnp.stack(tip_cols, axis=-1),
             applied_torque,
-            tip_wrench.reshape(n, 18),
+            tip_wrench,
         ],
         axis=-1,
     )
@@ -691,13 +718,14 @@ def _masked_full_reset(
         key, k_dr = jax.random.split(key)
     u, norm = _draw_reset_randoms(static, key, n)
     q_s, qd_s = _sample_robot_state(static, params, u, n)
-    obj_s = _sample_object_state(static, params, u, n)
-    goal_s, angvel_s = _sample_goal_poses(
+    obj_pos_s, obj_quat_s = _sample_object_state(static, params, u, n)
+    goal_cm_s, angvel_cm_s = _sample_goal_poses(
         static, params, u, norm, n,
         ori_frac=_ori_difficulty_frac(static, state.frames),
     )
 
     m1 = mask[:, None]
+    mrow = mask[None, :]
     physics = state.physics
     if static.robot_reset_type != "none":
         physics = physics.replace(
@@ -706,16 +734,20 @@ def _masked_full_reset(
         )
     if static.object_reset_type != "none":
         physics = physics.replace(
-            cube_pos=jnp.where(m1, obj_s[:, 0:3], physics.cube_pos),
-            cube_quat=jnp.where(m1, obj_s[:, 3:7], physics.cube_quat),
-            cube_linvel=jnp.where(m1, obj_s[:, 7:10], physics.cube_linvel),
-            cube_angvel=jnp.where(m1, obj_s[:, 10:13], physics.cube_angvel),
+            cube_pos=jnp.where(m1, jnp.stack(obj_pos_s, axis=-1), physics.cube_pos),
+            cube_quat=jnp.where(m1, jnp.stack(obj_quat_s, axis=-1), physics.cube_quat),
+            cube_linvel=jnp.where(m1, 0.0, physics.cube_linvel),
+            cube_angvel=jnp.where(m1, 0.0, physics.cube_angvel),
         )
 
-    object_hist = state.object_hist
+    # reference quirk: a full reset refreshes the object history slot with
+    # the sampled pose (so this step's delta rewards see prev = sampled), but
+    # leaves the fingertip history stale (trifinger_env.py:373-423 resets
+    # only the deques it writes)
+    obj_posquat_prev_cm = state.obj_posquat_prev_cm
     if static.object_reset_type != "none":
-        object_hist = object_hist.at[:, 0].set(
-            jnp.where(m1, obj_s, object_hist[:, 0])
+        obj_posquat_prev_cm = jnp.where(
+            mrow, jnp.stack(obj_pos_s + obj_quat_s), obj_posquat_prev_cm
         )
 
     scene = state.scene
@@ -742,9 +774,9 @@ def _masked_full_reset(
         physics=physics,
         scene=scene,
         pd_scale=pd_scale,
-        goal_pose=jnp.where(m1, goal_s, state.goal_pose),
-        goal_angvel=jnp.where(m1, angvel_s, state.goal_angvel),
-        object_hist=object_hist,
+        goal_pose_cm=jnp.where(mrow, goal_cm_s, state.goal_pose_cm),
+        goal_angvel_cm=jnp.where(mrow, angvel_cm_s, state.goal_angvel_cm),
+        obj_posquat_prev_cm=obj_posquat_prev_cm,
         reset_buf=jnp.where(mask, False, state.reset_buf),
         steps_count=jnp.where(mask, 0, state.steps_count),
         successes=jnp.where(mask, 0, state.successes),
@@ -757,20 +789,21 @@ def _masked_goal_reset(
 ) -> EnvState:
     n = static.num_envs
     u, norm = _draw_reset_randoms(static, key, n)
-    goal_s, angvel_s = _sample_goal_poses(
+    goal_cm_s, angvel_cm_s = _sample_goal_poses(
         static, params, u, norm, n,
         ori_frac=_ori_difficulty_frac(static, state.frames),
     )
-    m1 = mask[:, None]
+    mrow = mask[None, :]
     return state.replace(
-        goal_pose=jnp.where(m1, goal_s, state.goal_pose),
-        goal_angvel=jnp.where(m1, angvel_s, state.goal_angvel),
+        goal_pose_cm=jnp.where(mrow, goal_cm_s, state.goal_pose_cm),
+        goal_angvel_cm=jnp.where(mrow, angvel_cm_s, state.goal_angvel_cm),
         goal_reset_buf=jnp.where(mask, False, state.goal_reset_buf),
     )
 
 
-def _check_termination(static: EnvStatic, object_state, goal_pose, reward,
-                       goal_reset_buf, successes, info, env_steps_count=None):
+def _check_termination(static: EnvStatic, obj_pos, obj_quat, goal_pos,
+                       goal_quat, reward, goal_reset_buf, successes, info,
+                       env_steps_count=None):
     """Success termination (+bonus) — reference trifinger_env.py:1053-1099.
 
     With ``tolerance_anneal_frames > 0`` the tolerances ramp linearly from
@@ -789,12 +822,13 @@ def _check_termination(static: EnvStatic, object_state, goal_pose, reward,
         )
         info["env/position_tolerance"] = pos_tol
         info["env/orientation_tolerance"] = ori_tol
-    pos_dist = jnp.linalg.norm(
-        goal_pose[..., 0:3] - object_state[..., 0:3], axis=-1
-    )
+    dx = goal_pos[0] - obj_pos[0]
+    dy = goal_pos[1] - obj_pos[1]
+    dz = goal_pos[2] - obj_pos[2]
+    pos_dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
     goal_position_reset = pos_dist <= pos_tol
     info["env/current_position_goal/count"] = jnp.sum(goal_position_reset)
-    ori_dist = quat_diff_rad(object_state[..., 3:7], goal_pose[..., 3:7])
+    ori_dist = quat_diff_rad_c(obj_quat, goal_quat)
     goal_orientation_reset = ori_dist <= ori_tol
     info["env/current_orientation_goal/count"] = jnp.sum(goal_orientation_reset)
     info["env/pos_dist_mean"] = jnp.mean(pos_dist)
@@ -842,45 +876,57 @@ def env_step(static: EnvStatic, params: EnvParams, state: EnvState,
     )
 
     # physics
-    physics, tip_wrench = _simulate(
+    physics, tip_wrench6 = _simulate(
         static, state.physics, tau, state.scene, static.control_decimation
     )
+    tip_wrench = tip_wrench6.reshape(n, 18)
     frames = state.frames + static.control_decimation
 
     # goal movement (reference __update_goal_movement_pre/post: the goal body
     # integrates its angular velocity inside the sim)
-    goal_pose = state.goal_pose
+    goal_pose_cm = state.goal_pose_cm
     if static.goal_rotation_active:
-        goal_quat = quat_integrate(
-            goal_pose[..., 3:7], state.goal_angvel, static.dt * static.control_decimation
+        goal_quat_new = quat_integrate(
+            goal_pose_cm[3:7].T, state.goal_angvel_cm.T,
+            static.dt * static.control_decimation,
         )
-        goal_pose = jnp.concatenate([goal_pose[..., 0:3], goal_quat], axis=-1)
+        goal_pose_cm = jnp.concatenate(
+            [goal_pose_cm[0:3], goal_quat_new.T], axis=0
+        )
+    goal_pos = tuple(goal_pose_cm[i] for i in range(3))
+    goal_quat = tuple(goal_pose_cm[i] for i in range(3, 7))
 
-    # post-step: histories, rewards, termination
-    fingertip_state, object_state = _fingertip_object_states(static, physics)
-    fingertip_hist = jnp.stack([fingertip_state, state.fingertip_hist[:, 0]], axis=1)
-    object_hist = jnp.stack([object_state, state.object_hist[:, 0]], axis=1)
+    # post-step: rewards + termination on component columns (see the EnvState
+    # layout note — no lane-padded (N, 3, 13) intermediates)
+    tips = _fingertip_components(physics)
+    obj_pos, obj_quat, obj_linvel, obj_angvel = _object_components(physics)
+    tip_pos = tuple(t[0] for t in tips)
+    tip_pos_prev = tuple(
+        tuple(state.tip_pos_prev_cm[3 * f + c] for c in range(3))
+        for f in range(3)
+    )
+    obj_pos_prev = tuple(state.obj_posquat_prev_cm[i] for i in range(3))
+    obj_quat_prev = tuple(state.obj_posquat_prev_cm[i] for i in range(3, 7))
 
     # cast BEFORE multiplying: frames * n in int32 overflows past 2.1B env
     # steps and silently flips every scheduled reward window (float32 spacing
     # at 1e10 is ~1e3 — irrelevant vs the 1e7-scale thresholds)
     env_steps_count = frames.astype(jnp.float32) * n
-    reward, term_values = compute_rewards(
+    half_cols = tuple(state.scene.cube_half_extents[:, i] for i in range(3))
+    reward, term_values = compute_rewards_c(
         static.reward_spec_dict(),
         static.dt,
         env_steps_count,
-        fingertip_hist[:, 0],
-        fingertip_hist[:, 1],
-        object_hist[:, 0],
-        object_hist[:, 1],
-        goal_pose,
-        half_extents=state.scene.cube_half_extents,
+        tip_pos, tip_pos_prev,
+        obj_pos, obj_quat, obj_pos_prev, obj_quat_prev,
+        goal_pos, goal_quat,
+        half_extents=half_cols,
     )
     for name, value in term_values.items():
         info[f"env/rewards/{name}"] = jnp.mean(value)
 
     reward, goal_reset_buf, successes, info = _check_termination(
-        static, object_state, goal_pose, reward,
+        static, obj_pos, obj_quat, goal_pos, goal_quat, reward,
         state.goal_reset_buf, state.successes, info, env_steps_count,
     )
 
@@ -898,7 +944,8 @@ def env_step(static: EnvStatic, params: EnvParams, state: EnvState,
         dones = reset_buf | goal_reset_buf
 
     obs_raw = _assemble_obs_raw(
-        static, state.scene, physics, object_state, goal_pose, action_buf
+        static, state.scene, physics, obj_pos, obj_quat, goal_pos, goal_quat,
+        action_buf,
     )
     obs = (
         scale_transform(obs_raw, params.obs_scale_low, params.obs_scale_high)
@@ -906,12 +953,12 @@ def env_step(static: EnvStatic, params: EnvParams, state: EnvState,
         else obs_raw
     )
     states = _fill_states(
-        static, params, obs_raw, object_state, fingertip_state, tau, tip_wrench
+        static, params, obs_raw, obj_linvel, obj_angvel, tips, tau, tip_wrench
     )
 
     new_state = state.replace(
         physics=physics,
-        goal_pose=goal_pose,
+        goal_pose_cm=goal_pose_cm,
         action_buf=action_buf,
         applied_torque=tau,
         tip_wrench=tip_wrench,
@@ -919,8 +966,8 @@ def env_step(static: EnvStatic, params: EnvParams, state: EnvState,
         goal_reset_buf=goal_reset_buf,
         steps_count=steps_count,
         successes=successes,
-        fingertip_hist=fingertip_hist,
-        object_hist=object_hist,
+        tip_pos_prev_cm=jnp.stack([tip_pos[f][c] for f in range(3) for c in range(3)]),
+        obj_posquat_prev_cm=jnp.stack(list(obj_pos) + list(obj_quat)),
         frames=frames,
     )
     return new_state, obs, states, reward, dones, info
@@ -936,17 +983,19 @@ def env_reset(static: EnvStatic, params: EnvParams, key: jax.Array):
         physics=PhysicsState.default((n,)),
         scene=scene,
         pd_scale=jnp.ones((n, 2)),
-        goal_pose=jnp.tile(jnp.array([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0]), (n, 1)),
-        goal_angvel=jnp.zeros((n, 3)),
+        goal_pose_cm=jnp.tile(
+            jnp.array([[0.0], [0.0], [0.0], [0.0], [0.0], [0.0], [1.0]]), (1, n)
+        ),
+        goal_angvel_cm=jnp.zeros((3, n)),
         action_buf=jnp.zeros((n, static.action_dim)),
         applied_torque=jnp.zeros((n, 9)),
-        tip_wrench=jnp.zeros((n, 3, 6)),
+        tip_wrench=jnp.zeros((n, 18)),
         reset_buf=jnp.zeros(n, bool),
         goal_reset_buf=jnp.zeros(n, bool),
         steps_count=jnp.zeros(n, jnp.int32),
         successes=jnp.zeros(n, jnp.int32),
-        fingertip_hist=jnp.zeros((n, 2, 3, 13)),
-        object_hist=jnp.zeros((n, 2, 13)),
+        tip_pos_prev_cm=jnp.zeros((9, n)),
+        obj_posquat_prev_cm=jnp.zeros((7, n)),
         frames=jnp.zeros((), jnp.int32),
         key=key,
     )
@@ -957,22 +1006,25 @@ def env_reset(static: EnvStatic, params: EnvParams, key: jax.Array):
         static, params, state.action_buf, state.physics.q, state.physics.qd,
         state.pd_scale,
     )
-    physics, tip_wrench = _simulate(static, state.physics, tau, state.scene, 1)
+    physics, tip_wrench6 = _simulate(static, state.physics, tau, state.scene, 1)
     frames = state.frames + 1
 
-    fingertip_state, object_state = _fingertip_object_states(static, physics)
-    fingertip_hist = jnp.stack([fingertip_state, state.fingertip_hist[:, 0]], axis=1)
-    object_hist = jnp.stack([object_state, state.object_hist[:, 0]], axis=1)
+    tips = _fingertip_components(physics)
+    obj_pos, obj_quat, _, _ = _object_components(physics)
+    goal_pos = tuple(state.goal_pose_cm[i] for i in range(3))
+    goal_quat = tuple(state.goal_pose_cm[i] for i in range(3, 7))
     obs = _fill_observations(
-        static, params, physics, object_state, state.goal_pose, state.action_buf,
-        state.scene,
+        static, params, physics, obj_pos, obj_quat, goal_pos, goal_quat,
+        state.action_buf, state.scene,
     )
     state = state.replace(
         physics=physics,
         applied_torque=tau,
-        tip_wrench=tip_wrench,
-        fingertip_hist=fingertip_hist,
-        object_hist=object_hist,
+        tip_wrench=tip_wrench6.reshape(n, 18),
+        tip_pos_prev_cm=jnp.stack(
+            [tips[f][0][c] for f in range(3) for c in range(3)]
+        ),
+        obj_posquat_prev_cm=jnp.stack(list(obj_pos) + list(obj_quat)),
         frames=frames,
     )
     return state, obs

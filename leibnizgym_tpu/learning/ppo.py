@@ -327,14 +327,19 @@ def train_iteration(
     # the SPMD partitioner to all-gather the entire trajectory onto every
     # device of a data mesh (observed: obs/states/actions/advantages gathered
     # per epoch), degenerating the learner to replicated compute. Instead,
-    # keep the env axis (the sharded one) outermost and shuffle time
-    # PER ENV: each mini-epoch draws an independent permutation of the
-    # horizon for every env, and minibatch i takes time slice
-    # [i*k, (i+1)*k) — a slice on the REPLICATED axis. Every sample is still
-    # used exactly once per mini-epoch (a stratified shuffle: one random
-    # timestep subset per env per minibatch); the only collectives left are
-    # the per-minibatch gradient/metric all-reduces. Falls back to the
-    # rl_games-exact global shuffle when num_mb does not divide the horizon.
+    # keep the trajectory TIME-MAJOR exactly as the rollout scan produced it
+    # (env axis sharded, untouched) and build minibatch i from k = h/num_mb
+    # whole timestep rows, drawn per mini-epoch from a random permutation of
+    # the h row indices. Every sample is used exactly once per mini-epoch;
+    # row selection is an h-length leading-axis take (cheap), there are no
+    # trajectory transposes or per-element gathers (a per-env time shuffle
+    # via argsort+take_along_axis was measured 13x slower end-to-end on the
+    # chip), and the only collectives left are the per-minibatch
+    # gradient/metric all-reduces. Within-minibatch samples share their
+    # timesteps across all n envs — with thousands of independent envs per
+    # row the gradient estimate is as decorrelated as rl_games' global
+    # shuffle in practice. Falls back to the rl_games-exact global shuffle
+    # when num_mb does not divide the horizon.
     time_sliced = cfg.shuffle_minibatches and num_mb <= h and h % num_mb == 0
 
     if cfg.normalize_advantage:
@@ -345,8 +350,6 @@ def train_iteration(
             flat, (b_obs, b_states, b_action, b_mu, b_log_std, b_neglogp, b_value)
         )
         f_returns, f_advs = flat(returns), flat(advs)
-    else:
-        f_states, f_returns = b_states, returns  # env-major'd below for cv
 
     def loss_fn(ac_params, mb, lr_unused):
         mu, log_std, value = actor_critic.apply(ac_params, mb["obs"])
@@ -381,27 +384,13 @@ def train_iteration(
         return total, (a_loss, c_loss, entropy, b_loss, kl)
 
     if time_sliced:
-        # env-major (n, h, ...) — sharded env axis outermost
+        # time-major (h, n, ...) exactly as the rollout scan emitted it
         data = {
             "obs": b_obs, "action": b_action, "mu": b_mu,
             "log_std": b_log_std, "neglogp": b_neglogp, "advs": advs,
             "returns": returns, "value": b_value,
         }
-        data = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), data)
-        k_slice = h // num_mb  # timesteps per env per minibatch
-
-        def shuffle_time(d, k_perm):
-            # independent permutation of the horizon per env: argsort of
-            # uniforms along the (replicated) time axis — no cross-env comm
-            perm = jnp.argsort(jax.random.uniform(k_perm, (n, h)), axis=1)
-
-            def tk(x):
-                idx = perm.reshape((n, h) + (1,) * (x.ndim - 2))
-                return jnp.take_along_axis(
-                    x, jnp.broadcast_to(idx, x.shape), axis=1
-                )
-
-            return jax.tree.map(tk, d)
+        k_rows = h // num_mb  # timestep rows per minibatch
     else:
         data = {
             "obs": f_obs, "action": f_action, "mu": f_mu, "log_std": f_log_std,
@@ -409,53 +398,44 @@ def train_iteration(
             "value": f_value,
         }
 
-    def mb_update_on(shuffled):
-        def mb_update(carry, idx):
-            ac_params, opt_state, lr, key = carry
-            if time_sliced:
-                # idx = minibatch number; slice the replicated time axis
-                mb = jax.tree.map(
-                    lambda x: jax.lax.dynamic_slice_in_dim(
-                        x, idx * k_slice, k_slice, axis=1
-                    ),
-                    shuffled,
-                )
-            else:
-                mb = jax.tree.map(lambda x: jnp.take(x, idx, axis=0), shuffled)
-            (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                ac_params, mb, lr
-            )
-            updates, opt_state = ac_tx.update(grads, opt_state, ac_params)
-            ac_params = optax.apply_updates(ac_params, _apply_lr(updates, lr))
-            a_loss, c_loss, entropy, b_loss, kl = aux
-            if cfg.lr_schedule == "adaptive":
-                lr = jnp.where(kl > 2.0 * cfg.kl_threshold,
-                               jnp.maximum(lr / 1.5, cfg.min_lr), lr)
-                lr = jnp.where(kl < 0.5 * cfg.kl_threshold,
-                               jnp.minimum(lr * 1.5, cfg.max_lr), lr)
-            mb_out = (total, a_loss, c_loss, entropy, kl)
-            if cfg.nan_telemetry:
-                mb_out = mb_out + (optax.global_norm(grads),)
-            return (ac_params, opt_state, lr, key), mb_out
-
-        return mb_update
+    def mb_update(carry, idx):
+        # idx: (k_rows,) timestep-row indices when time_sliced, else
+        # (mb_size,) flat sample indices — both a leading-axis take
+        ac_params, opt_state, lr, key = carry
+        # when time_sliced the minibatch keeps its (k_rows, n, ...) shape —
+        # the loss reduces over all leading dims, and merging the replicated
+        # row dim into the sharded env dim would force a resharding
+        mb = jax.tree.map(lambda x: jnp.take(x, idx, axis=0), data)
+        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            ac_params, mb, lr
+        )
+        updates, opt_state = ac_tx.update(grads, opt_state, ac_params)
+        ac_params = optax.apply_updates(ac_params, _apply_lr(updates, lr))
+        a_loss, c_loss, entropy, b_loss, kl = aux
+        if cfg.lr_schedule == "adaptive":
+            lr = jnp.where(kl > 2.0 * cfg.kl_threshold,
+                           jnp.maximum(lr / 1.5, cfg.min_lr), lr)
+            lr = jnp.where(kl < 0.5 * cfg.kl_threshold,
+                           jnp.minimum(lr * 1.5, cfg.max_lr), lr)
+        mb_out = (total, a_loss, c_loss, entropy, kl)
+        if cfg.nan_telemetry:
+            mb_out = mb_out + (optax.global_norm(grads),)
+        return (ac_params, opt_state, lr, key), mb_out
 
     ac_params, ac_opt_state, lr = ts.ac_params, ts.ac_opt_state, ts.lr
     metrics_acc = []
     for _ in range(cfg.mini_epochs):
         key, k_perm = jax.random.split(key)
         if time_sliced:
-            shuffled = shuffle_time(data, k_perm)
-            idxs = jnp.arange(num_mb)
+            idxs = jax.random.permutation(k_perm, h).reshape(num_mb, k_rows)
         else:
             if cfg.shuffle_minibatches:
                 perm = jax.random.permutation(k_perm, batch)
             else:
                 perm = jnp.arange(batch)
-            shuffled = data
             idxs = perm[: num_mb * mb_size].reshape(num_mb, mb_size)
         (ac_params, ac_opt_state, lr, key), ep_metrics = jax.lax.scan(
-            mb_update_on(shuffled), (ac_params, ac_opt_state, lr, key), idxs
+            mb_update, (ac_params, ac_opt_state, lr, key), idxs
         )
         metrics_acc.append(ep_metrics)
 
@@ -479,53 +459,43 @@ def train_iteration(
     if asym:
         cv_num_mb = max(batch // cfg.cv_minibatch_size, 1)
         cv_mb = batch // cv_num_mb
-        cv_time_sliced = time_sliced and cv_num_mb <= h and h % cv_num_mb == 0
+        # same timestep-row minibatching as the actor (see the note above)
+        cv_time_sliced = (
+            cfg.shuffle_minibatches and cv_num_mb <= h and h % cv_num_mb == 0
+        )
 
         def cv_loss_fn(p, s, r):
             v = central_value.apply(p, s)
             return jnp.mean(jnp.square(v - r))
 
         if cv_time_sliced:
-            cv_data = {
-                "s": jnp.swapaxes(f_states, 0, 1),
-                "r": jnp.swapaxes(f_returns, 0, 1),
-            }
-            cv_k = h // cv_num_mb
+            cv_data = {"s": b_states, "r": returns}  # time-major (h, n, ...)
+            cv_k_rows = h // cv_num_mb
         else:
-            cv_data = {"s": flat(f_states), "r": flat(f_returns)} \
-                if time_sliced else {"s": f_states, "r": f_returns}
+            cv_data = {"s": flat(b_states), "r": flat(returns)}
 
-        def cv_update_on(shuffled):
-            def cv_update(carry, idx):
-                p, opt, key = carry
-                if cv_time_sliced:
-                    s = jax.lax.dynamic_slice_in_dim(
-                        shuffled["s"], idx * cv_k, cv_k, axis=1)
-                    r = jax.lax.dynamic_slice_in_dim(
-                        shuffled["r"], idx * cv_k, cv_k, axis=1)
-                else:
-                    s = jnp.take(shuffled["s"], idx, axis=0)
-                    r = jnp.take(shuffled["r"], idx, axis=0)
-                loss, grads = jax.value_and_grad(cv_loss_fn)(p, s, r)
-                updates, opt = cv_tx.update(grads, opt, p)
-                p = optax.apply_updates(
-                    p, _apply_lr(updates, jnp.asarray(cfg.cv_learning_rate)))
-                return (p, opt, key), loss
-
-            return cv_update
+        def cv_update(carry, idx):
+            p, opt, key = carry
+            s = jnp.take(cv_data["s"], idx, axis=0)
+            r = jnp.take(cv_data["r"], idx, axis=0)
+            loss, grads = jax.value_and_grad(cv_loss_fn)(p, s, r)
+            updates, opt = cv_tx.update(grads, opt, p)
+            p = optax.apply_updates(
+                p, _apply_lr(updates, jnp.asarray(cfg.cv_learning_rate)))
+            return (p, opt, key), loss
 
         losses = []
         for _ in range(cfg.cv_mini_epochs):
             key, k_perm = jax.random.split(key)
             if cv_time_sliced:
-                shuffled = shuffle_time(cv_data, k_perm)
-                idxs = jnp.arange(cv_num_mb)
+                idxs = jax.random.permutation(k_perm, h).reshape(
+                    cv_num_mb, cv_k_rows
+                )
             else:
                 perm = jax.random.permutation(k_perm, batch)
-                shuffled = cv_data
                 idxs = perm[: cv_num_mb * cv_mb].reshape(cv_num_mb, cv_mb)
             (cv_params, cv_opt_state, key), ls = jax.lax.scan(
-                cv_update_on(shuffled), (cv_params, cv_opt_state, key), idxs
+                cv_update, (cv_params, cv_opt_state, key), idxs
             )
             losses.append(ls)
         cv_loss_mean = jnp.mean(jnp.stack(losses))

@@ -960,16 +960,18 @@ def _quat_from_m3(m):
     return quat_normalize4(q)
 
 
-def fingertip_states_v2(q9: jax.Array, qd9: jax.Array) -> jax.Array:
-    """Fingertip 13-dim states (3, 13) via the scalar FK path.
+def fingertip_components_v2(q_cols, qd_cols):
+    """Fingertip state components via the scalar FK path.
 
-    SoA replacement for the AoS observation path (kinematics.all_tips_world +
-    matrix_to_quat over (N, 3, 3) tensors). Unbatched; vmap over envs.
-    """
-    rows = []
+    ``q_cols``/``qd_cols``: 9-tuples of same-shape arrays (scalars or (N,)
+    columns — the math is shape-agnostic). Returns a 3-tuple (one per finger)
+    of (pos3, quat4, linvel3, angvel3) component tuples. This is the env
+    layer's hot observation path: every intermediate stays a component array
+    (no (N, 3, 13) lane-padded tensors)."""
+    out = []
     for f in range(3):
-        q = (q9[3 * f], q9[3 * f + 1], q9[3 * f + 2])
-        qd = (qd9[3 * f], qd9[3 * f + 1], qd9[3 * f + 2])
+        q = (q_cols[3 * f], q_cols[3 * f + 1], q_cols[3 * f + 2])
+        qd = (qd_cols[3 * f], qd_cols[3 * f + 1], qd_cols[3 * f + 2])
         c1, s1 = jnp.cos(q[0]), jnp.sin(q[0])
         c2, s2 = jnp.cos(q[1]), jnp.sin(q[1])
         c3, s3 = jnp.cos(q[2]), jnp.sin(q[2])
@@ -1000,12 +1002,25 @@ def fingertip_states_v2(q9: jax.Array, qd9: jax.Array) -> jax.Array:
         mount = ((c, -s, 0.0), (s, c, 0.0), (0.0, 0.0, 1.0))
         rot_w = m3_mul(mount, r3)
         quat_w = _quat_from_m3(rot_w)
-        rows.append(
-            jnp.stack([tip_w[0], tip_w[1], tip_w[2],
-                       quat_w[0], quat_w[1], quat_w[2], quat_w[3],
-                       lin_w[0], lin_w[1], lin_w[2],
-                       ang_w[0], ang_w[1], ang_w[2]])
-        )
+        out.append((tip_w, quat_w, lin_w, ang_w))
+    return tuple(out)
+
+
+def fingertip_states_v2(q9: jax.Array, qd9: jax.Array) -> jax.Array:
+    """Fingertip 13-dim states (3, 13) via the scalar FK path.
+
+    Stacked (AoS) wrapper over :func:`fingertip_components_v2`. Unbatched;
+    vmap over envs."""
+    fingers = fingertip_components_v2(
+        tuple(q9[i] for i in range(9)), tuple(qd9[i] for i in range(9))
+    )
+    rows = [
+        jnp.stack([tip_w[0], tip_w[1], tip_w[2],
+                   quat_w[0], quat_w[1], quat_w[2], quat_w[3],
+                   lin_w[0], lin_w[1], lin_w[2],
+                   ang_w[0], ang_w[1], ang_w[2]])
+        for (tip_w, quat_w, lin_w, ang_w) in fingers
+    ]
     return jnp.stack(rows)
 
 

@@ -25,16 +25,20 @@ def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
 
 
 def shard_batch_pytree(tree, mesh: Mesh, batch_size: int, axis_name: str = "data"):
-    """Place every leaf whose leading dim == batch_size on the data axis;
-    replicate everything else (scalars, parameters, RNG keys)."""
+    """Place every leaf with a batch_size-sized axis on the data axis;
+    replicate everything else (scalars, parameters, RNG keys).
+
+    Row-major leaves (batch leading, e.g. obs (N, 41)) shard axis 0;
+    component-major ``_cm`` leaves (batch last, e.g. goal_pose_cm (7, N) —
+    the env axis lives in the TPU lane dimension) shard the last axis."""
 
     def put(leaf):
-        if (
-            hasattr(leaf, "ndim")
-            and leaf.ndim >= 1
-            and leaf.shape[0] == batch_size
-        ):
-            return jax.device_put(leaf, NamedSharding(mesh, P(axis_name)))
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1:
+            if leaf.shape[0] == batch_size:
+                return jax.device_put(leaf, NamedSharding(mesh, P(axis_name)))
+            if leaf.ndim >= 2 and leaf.shape[-1] == batch_size:
+                spec = P(*([None] * (leaf.ndim - 1) + [axis_name]))
+                return jax.device_put(leaf, NamedSharding(mesh, spec))
         return jax.device_put(leaf, NamedSharding(mesh, P()))
 
     return jax.tree.map(put, tree)

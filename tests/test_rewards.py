@@ -154,3 +154,59 @@ class TestKeypointDist:
             "object_move": {"activate": False},
         })
         assert specs["keypoint_dist"].activate is False
+
+
+def test_component_api_matches_aos():
+    """compute_rewards_c (the SoA hot path) must agree with compute_rewards
+    (the AoS oracle) for every term, active schedules included."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    n = 64
+    fingertip = jnp.asarray(rng.uniform(-0.3, 0.3, (n, 3, 13)).astype(np.float32))
+    fingertip_prev = jnp.asarray(rng.uniform(-0.3, 0.3, (n, 3, 13)).astype(np.float32))
+
+    def rand_state():
+        st = rng.uniform(-0.3, 0.3, (n, 13)).astype(np.float32)
+        q = rng.normal(size=(n, 4)).astype(np.float32)
+        st[:, 3:7] = q / np.linalg.norm(q, axis=-1, keepdims=True)
+        return jnp.asarray(st)
+
+    obj, obj_prev = rand_state(), rand_state()
+    goal = rand_state()[:, 0:7]
+    half = jnp.full((n, 3), 0.0325)
+    specs = {
+        name: rw.RewardTermSpec(
+            name=name, activate=True, weight=123.0, norm_p=2, scale=3.0,
+            sched_start=0.0, sched_end=1e9,
+        )
+        for name in rw.REWARD_TERM_NAMES
+    }
+    step = jnp.asarray(5e8)
+    total_a, vals_a = rw.compute_rewards(
+        specs, 0.02, step, fingertip, fingertip_prev, obj, obj_prev, goal,
+        half_extents=half,
+    )
+    cols = lambda arr, idx: tuple(arr[:, i] for i in idx)
+    tips = tuple(tuple(fingertip[:, f, c] for c in range(3)) for f in range(3))
+    tips_p = tuple(tuple(fingertip_prev[:, f, c] for c in range(3)) for f in range(3))
+    total_c, vals_c = rw.compute_rewards_c(
+        specs, 0.02, step,
+        tips, tips_p,
+        cols(obj, range(3)), cols(obj, range(3, 7)),
+        cols(obj_prev, range(3)), cols(obj_prev, range(3, 7)),
+        cols(goal, range(3)), cols(goal, range(3, 7)),
+        half_extents=tuple(half[:, c] for c in range(3)),
+    )
+    assert set(vals_a) == set(vals_c)
+    for name in vals_a:
+        # rotation terms pass through 2*asin(|vec|) whose derivative diverges
+        # at |vec| -> 1 (angle pi): float-eps differences in the norm order
+        # amplify to ~sqrt(eps) rad there, times the 123 weight
+        atol = 0.3 if "rot" in name else 1e-6
+        np.testing.assert_allclose(
+            np.asarray(vals_a[name]), np.asarray(vals_c[name]),
+            rtol=1e-5, atol=atol, err_msg=name,
+        )
+    np.testing.assert_allclose(np.asarray(total_a), np.asarray(total_c),
+                               rtol=1e-5, atol=0.5)
