@@ -152,10 +152,33 @@ class EnvBase:
             yaml.dump(self.config, f)
 
     def render(self):
-        print_warn(
-            "No on-device viewer; use scripts/replay_viewer.py to render "
-            "logged states."
-        )
+        """Live interactive view of env 0 (reference env_base.py:403-427:
+        draw viewer, poll ESC/V keyboard events). Requires ``visualize=True``
+        (the reference's ``not headless``) and a matplotlib GUI backend;
+        falls back to a one-time warning otherwise."""
+        if not self.visualize:
+            if not getattr(self, "_render_warned", False):
+                self._render_warned = True
+                print_warn(
+                    "render() called with visualize=False; pass "
+                    "visualize=True (args.headless=False) for the live "
+                    "viewer, or use scripts/replay_viewer.py offline."
+                )
+            return
+        if getattr(self, "_viewer_failed", False):
+            return
+        viewer = getattr(self, "_viewer", None)
+        if viewer is None:
+            try:
+                from leibnizgym_tpu.utils.viewer import LiveViewer
+
+                viewer = self._viewer = LiveViewer()
+            except Exception as e:  # headless host: degrade, don't crash
+                self._viewer_failed = True
+                print_warn(f"live viewer unavailable ({e}); rendering off")
+                return
+        if not viewer.update(self.state):
+            self.visualize = False  # ESC: stop rendering (reference QUIT)
 
     def close(self):
         pass

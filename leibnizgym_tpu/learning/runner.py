@@ -63,11 +63,14 @@ class Runner:
         seed: int = 7,
         verbose: bool = False,
         devices=None,
+        visualize: bool = False,
     ):
         self.verbose = verbose
         num_actors = int(task_cfg.get("num_instances", 256))
         self.ppo_cfg = PPOConfig.from_rlg_params(agent_params, num_actors)
-        self.env = TrifingerEnv(config=task_cfg, verbose=verbose)
+        self.env = TrifingerEnv(
+            config=task_cfg, verbose=verbose, visualize=visualize
+        )
         self.static, self.env_params = self.env.static, self.env.params
         self.seed = seed
 
@@ -340,6 +343,8 @@ class Runner:
             action = policy(self.ts.ac_params, obs, k)
             obs, reward, dones, info = self.env.step(action)
             total_reward += np.asarray(reward)
+            if self.env.visualize:  # live viewer (reference render-per-step)
+                self.env.render()
         mean_r = float(total_reward.mean())
         print_info(f"play: {num_steps} steps, mean accumulated reward {mean_r:.1f}")
         return mean_r

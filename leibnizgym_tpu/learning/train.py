@@ -25,6 +25,7 @@ def run_training(
     play_steps: int = 1000,
     verbose: bool = False,
     watchdog_timeout: Optional[float] = None,
+    visualize: bool = False,
 ):
     """Train or play, mirroring rl_games Runner.run(vargs)."""
     runner = Runner(
@@ -33,6 +34,7 @@ def run_training(
         logdir=logdir,
         seed=seed,
         verbose=verbose,
+        visualize=visualize,
     )
     runner.reset()
     if checkpoint:

@@ -92,38 +92,7 @@ def record_rollout(env: TrifingerEnv, num_steps: int, checkpoint: str | None,
     return frames
 
 
-def draw_frame(ax_top, ax_side, f, half: float):
-    import matplotlib.patches as patches
-
-    for ax in (ax_top, ax_side):
-        ax.clear()
-        ax.set_aspect("equal")
-    r = tf_model.WALL_INNER_RADIUS
-    # top view
-    ax_top.add_patch(patches.Circle((0, 0), r, fill=False, color="gray"))
-    corners = (
-        f["cube_pos"][None, :]
-        + (np.array(
-            [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
-        ) * half) @ f["cube_rot"].T
-    )
-    ax_top.scatter(corners[:, 0], corners[:, 1], s=6, c="tab:orange")
-    ax_top.scatter(*f["cube_pos"][:2], s=40, c="tab:red", label="cube")
-    ax_top.scatter(*f["goal"][:2], s=40, marker="*", c="tab:green", label="goal")
-    ax_top.scatter(f["tips"][:, 0], f["tips"][:, 1], s=30, c="tab:blue", label="tips")
-    ax_top.set_xlim(-0.25, 0.25)
-    ax_top.set_ylim(-0.25, 0.25)
-    ax_top.set_title("top view")
-    ax_top.legend(loc="upper right", fontsize=6)
-    # side view (x-z)
-    ax_side.axhline(0, color="gray", lw=1)
-    ax_side.scatter(corners[:, 0], corners[:, 2], s=6, c="tab:orange")
-    ax_side.scatter(f["cube_pos"][0], f["cube_pos"][2], s=40, c="tab:red")
-    ax_side.scatter(f["goal"][0], f["goal"][2], s=40, marker="*", c="tab:green")
-    ax_side.scatter(f["tips"][:, 0], f["tips"][:, 2], s=30, c="tab:blue")
-    ax_side.set_xlim(-0.25, 0.25)
-    ax_side.set_ylim(-0.02, 0.35)
-    ax_side.set_title("side view")
+from leibnizgym_tpu.utils.viewer import draw_frame  # shared with LiveViewer
 
 
 def main():

@@ -69,6 +69,7 @@ def main(argv):
         play_steps=args["play_steps"],
         verbose=args["verbose"],
         watchdog_timeout=args.get("watchdog_timeout"),
+        visualize=not args.get("headless", True),
     )
 
 
