@@ -24,12 +24,15 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from leibnizgym_tpu.ops.types import SolverConfig
 from leibnizgym_tpu.utils.math import quat_to_matrix
 
 # 8 corner sign combinations of a box
-_CORNER_SIGNS = jnp.array(
+# numpy so importing never touches the accelerator backend (wedged-tunnel
+# robustness); jnp converts at trace time
+_CORNER_SIGNS = np.array(
     [
         [sx, sy, sz]
         for sx in (-1.0, 1.0)

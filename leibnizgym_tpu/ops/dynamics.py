@@ -17,13 +17,15 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from leibnizgym_tpu.models import trifinger as tf_model
 from leibnizgym_tpu.ops.kinematics import finger_fk
 from leibnizgym_tpu.utils.math import solve_pd_3x3
 
-_LOWER_MASK = jnp.array(
-    [[1.0, 0.0, 0.0], [1.0, 1.0, 0.0], [1.0, 1.0, 1.0]]
+# numpy so importing never touches the accelerator backend
+_LOWER_MASK = np.array(
+    [[1.0, 0.0, 0.0], [1.0, 1.0, 0.0], [1.0, 1.0, 1.0]], dtype=np.float32
 )  # mask[l, i] = joint i moves link l
 
 

@@ -22,6 +22,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from leibnizgym_tpu.models import trifinger as tf_model
 from leibnizgym_tpu.ops import dynamics
@@ -44,7 +45,8 @@ from leibnizgym_tpu.ops.kinematics import (
 from leibnizgym_tpu.ops.types import PhysicsState, SceneParams, SolverConfig
 from leibnizgym_tpu.utils.math import quat_integrate, solve_pd_3x3
 
-_TIP_LOCAL_OFFSET = jnp.asarray(tf_model.TIP_SPHERE_OFFSET)
+# numpy so importing never touches the accelerator backend
+_TIP_LOCAL_OFFSET = np.asarray(tf_model.TIP_SPHERE_OFFSET, dtype=np.float32)
 _MAX_CUBE_ANGVEL = 64.0  # PhysX AssetOptions default max_angular_velocity
 
 

@@ -19,13 +19,16 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from leibnizgym_tpu.models import trifinger as tf_model
 
-# static chain constants
-_O2 = jnp.asarray(tf_model.JOINT_OFFSETS[1])
-_O3 = jnp.asarray(tf_model.JOINT_OFFSETS[2])
-_TIP = jnp.asarray(tf_model.TIP_OFFSET)
+# static chain constants — plain numpy so importing this module never touches
+# the accelerator backend (a wedged TPU tunnel must not make `import
+# leibnizgym_tpu` itself crash; jnp converts these at trace time)
+_O2 = np.asarray(tf_model.JOINT_OFFSETS[1], dtype=np.float32)
+_O3 = np.asarray(tf_model.JOINT_OFFSETS[2], dtype=np.float32)
+_TIP = np.asarray(tf_model.TIP_OFFSET, dtype=np.float32)
 _MOUNT_Z = tf_model.MOUNT_HEIGHT
 
 
@@ -137,9 +140,22 @@ def tip_angular_velocity(fk: FingerFK, qd: jax.Array) -> jax.Array:
 # World-frame helpers (apply the mount transform)
 # ---------------------------------------------------------------------------
 
-_MOUNT_YAWS = jnp.asarray(tf_model.FINGER_MOUNT_YAWS)
-MOUNT_ROTS = rot_z(_MOUNT_YAWS)  # (3, 3, 3) per-finger world rotation
-MOUNT_POS = jnp.array([0.0, 0.0, _MOUNT_Z])
+_MOUNT_YAWS = np.asarray(tf_model.FINGER_MOUNT_YAWS, dtype=np.float32)
+# (3, 3, 3) per-finger world rotation — numpy at module scope (see note on
+# the chain constants above); trig in f64 then cast = correctly-rounded f32
+MOUNT_ROTS = np.stack(
+    [
+        np.array(
+            [
+                [np.cos(y), -np.sin(y), 0.0],
+                [np.sin(y), np.cos(y), 0.0],
+                [0.0, 0.0, 1.0],
+            ]
+        )
+        for y in np.asarray(tf_model.FINGER_MOUNT_YAWS, dtype=np.float64)
+    ]
+).astype(np.float32)
+MOUNT_POS = np.array([0.0, 0.0, _MOUNT_Z], dtype=np.float32)
 
 
 def finger_to_world(x_local: jax.Array, finger_rot: jax.Array) -> jax.Array:
