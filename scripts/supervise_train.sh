@@ -32,6 +32,18 @@ while true; do
         echo "[supervisor] giving up after $MAX_RESTARTS restarts (last exit $code)"
         exit $code
     fi
-    echo "[supervisor] exit $code — restart $restarts/$MAX_RESTARTS in 10s"
-    sleep 10
+    # A wedged device tunnel recovers only after ~5 min with NO client
+    # attached; immediate restarts keep re-wedging it. Back off
+    # exponentially (10s, 20s, ..., capped 10 min) so the remote end gets
+    # the idle window it needs, and reset the budget once training makes
+    # progress again (a checkpoint newer than the last failure).
+    backoff=$((10 * (1 << (restarts - 1))))
+    [ "$backoff" -gt 600 ] && backoff=600
+    new_ckpt=$(ls -dt "$LOGDIR"/*/nn/last 2>/dev/null | head -1 || true)
+    if [ -n "${new_ckpt:-}" ] && [ "${new_ckpt}" != "${ckpt:-}" ]; then
+        restarts=1
+        backoff=10
+    fi
+    echo "[supervisor] exit $code — restart $restarts/$MAX_RESTARTS in ${backoff}s"
+    sleep "$backoff"
 done
