@@ -88,6 +88,12 @@ class PPOConfig:
     # emit per-stage finiteness flags + magnitudes (nan/* metrics) to locate
     # the first non-finite tensor in the rollout->GAE->update pipeline
     nan_telemetry: bool = False
+    # host-loop pipeline depth: the runner keeps this many epochs' metrics
+    # on-device before fetching, so the per-epoch device_get never drains
+    # the async dispatch queue (host reads epoch e-K while the device runs
+    # epoch e). 1 = fully synchronous; forced to 1 when nan_telemetry is on
+    # (the nan dump needs the immediately-preceding train state)
+    host_pipeline_depth: int = 4
 
     @classmethod
     def from_rlg_params(cls, params: dict, num_actors: int) -> "PPOConfig":
@@ -132,6 +138,7 @@ class PPOConfig:
             ),
             nan_telemetry=bool(c.get("nan_telemetry", False)),
             log_std_min=float(c.get("log_std_min", -20.0)),
+            host_pipeline_depth=int(c.get("host_pipeline_depth", 4)),
         )
 
 

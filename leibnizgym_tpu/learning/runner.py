@@ -230,20 +230,26 @@ class Runner:
                 max(watchdog_timeout, self._FIRST_EPOCH_WATCHDOG_FLOOR)
             )
         prev_ts = None
-        for epoch in range(1, epochs + 1):
-            t0 = time.time()
-            if cfg.nan_telemetry:
-                # keep the pre-epoch state so a nan halt can dump the exact
-                # reproducer (replayed by scripts/nan_replay.py)
-                prev_ts = self.ts
-            self.ts, metrics = self._train_iter(
-                cfg, self.static, self.env_params, self.ts
-            )
-            metrics = jax.device_get(metrics)
+        # Host-loop pipelining: metrics stay on-device for up to `depth`
+        # epochs so device_get never drains the async dispatch queue — the
+        # host processes epoch e-depth+1 while the device runs epoch e
+        # (TODO.md: ~25 ms/epoch of synchronous host time). nan_telemetry
+        # needs the immediately-preceding train state, so it forces the
+        # synchronous depth of 1.
+        depth = max(1, cfg.host_pipeline_depth)
+        if cfg.nan_telemetry:
+            depth = 1
+        pending = collections.deque()  # (epoch, device metrics, enqueue wall time)
+        self._best_reward = best_reward
+        last_t = time.time()
+        stop = False
+
+        def process(epoch: int, metrics, dt: float) -> bool:
+            """Handle one epoch's fetched metrics; True = stop training."""
+            nonlocal prev_ts
             self._last_progress = time.time()
             if epoch == 1 and watchdog_timeout:
                 self._watchdog_timeout = watchdog_timeout
-            dt = time.time() - t0
             frame = int(metrics["info/frames"])
             # per-episode returns (rl_games game_rewards parity: each finished
             # episode contributes its own return to the tracking window)
@@ -270,9 +276,9 @@ class Runner:
             if (
                 epoch >= cfg.save_best_after
                 and self.game_rewards.current_size > 0
-                and mean_rew > best_reward
+                and mean_rew > self._best_reward
             ):
-                best_reward = mean_rew
+                self._best_reward = mean_rew
                 self.save("best")
             if cfg.save_frequency and epoch % cfg.save_frequency == 0:
                 self.save("last")
@@ -282,7 +288,7 @@ class Runner:
                     f"score_to_win reached ({self.game_rewards.get_mean():.1f} "
                     f">= {cfg.score_to_win}); stopping early"
                 )
-                break
+                return True
             if not np.isfinite(float(metrics["info/kl"])):
                 # params are garbage once kl is non-finite — halt instead of
                 # burning the chip. nan/* telemetry (config nan_telemetry)
@@ -304,7 +310,33 @@ class Runner:
                         pickle.dump(jax.device_get(prev_ts), fh)
                     print_error(f"pre-nan train state dumped to {path}")
                 self.save("nan_halt")
-                break
+                return True
+            return False
+
+        for epoch in range(1, epochs + 1):
+            if cfg.nan_telemetry:
+                # keep the pre-epoch state so a nan halt can dump the exact
+                # reproducer (replayed by scripts/nan_replay.py)
+                prev_ts = self.ts
+            self.ts, metrics_dev = self._train_iter(
+                cfg, self.static, self.env_params, self.ts
+            )
+            pending.append((epoch, metrics_dev))
+            if len(pending) >= depth:
+                e, m = pending.popleft()
+                now = time.time()
+                # steady-state wall time per epoch (the fetch of an epoch
+                # `depth` back only blocks if the device is actually behind)
+                dt, last_t = now - last_t, now
+                stop = process(e, jax.device_get(m), dt)
+                if stop:
+                    break
+        while pending and not stop:
+            e, m = pending.popleft()
+            now = time.time()
+            dt, last_t = now - last_t, now
+            stop = process(e, jax.device_get(m), dt)
+        best_reward = self._best_reward
         self.save("final")
         total = time.time() - t_start
         print_notify(
