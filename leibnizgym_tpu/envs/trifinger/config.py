@@ -28,6 +28,9 @@ TRIFINGER_DEFAULT_CONFIG_DICT = {
     "apply_safety_damping": True,
     "asymmetric_obs": False,
     "normalize_obs": True,
+    # gaussian observation noise std in normalized obs units (the
+    # reference's planned hook, trifinger_env.py:979); 0 = off
+    "obs_noise_std": 0.0,
     "normalize_action": True,
     "reset_distribution": {
         "robot_initial_state": {

@@ -113,6 +113,11 @@ class EnvStatic:
     dr_pd_gain_scale: Tuple[float, float]
     engine: str  # "soa" (TPU scalar layout) | "pallas" (mega-kernel) | "reference"
     use_keypoint_obs: bool  # append 8 object + 8 goal cube-corner keypoints
+    # Gaussian observation noise, std in *normalized* obs units (the
+    # reference's planned hook, trifinger_env.py:979 "TODO: add observation
+    # noise"). 0 disables. Policy obs only — the privileged state stays
+    # clean (that is the point of the asymmetric critic).
+    obs_noise_std: float
     reward_specs: Tuple[RewardTermSpec, ...]
     solver: SolverConfig
 
@@ -296,6 +301,7 @@ def build_static(config: dict) -> EnvStatic:
         ),
         engine=engine,
         use_keypoint_obs=bool(config.get("use_keypoint_obs", False)),
+        obs_noise_std=float(config.get("obs_noise_std", 0.0)),
         reward_specs=tuple(specs[name] for name in sorted(specs)),
         solver=solver,
     )
@@ -858,7 +864,13 @@ def env_step(static: EnvStatic, params: EnvParams, state: EnvState,
     """One MDP step for all envs (reference env_base.py:345-401 order)."""
     n = static.num_envs
     info: Dict[str, jax.Array] = {}
-    key, k_reset, k_goal = jax.random.split(state.key, 3)
+    if static.obs_noise_std > 0.0:
+        key, k_reset, k_goal, k_obs = jax.random.split(state.key, 4)
+    else:
+        # keep the 3-way split so noise-free runs stay bit-identical with
+        # earlier versions (golden-trajectory regression)
+        key, k_reset, k_goal = jax.random.split(state.key, 3)
+        k_obs = None
     state = state.replace(key=key)
 
     # reset envs first (observations need post-reset physics; see the note at
@@ -952,6 +964,12 @@ def env_step(static: EnvStatic, params: EnvParams, state: EnvState,
         if static.normalize_obs
         else obs_raw
     )
+    if static.obs_noise_std > 0.0:
+        noise = static.obs_noise_std * jax.random.normal(k_obs, obs.shape)
+        if not static.normalize_obs:
+            # std is defined in normalized units; map to raw units
+            noise = noise * (params.obs_scale_high - params.obs_scale_low) * 0.5
+        obs = obs + noise
     states = _fill_states(
         static, params, obs_raw, obj_linvel, obj_angvel, tips, tau, tip_wrench
     )
@@ -1017,6 +1035,13 @@ def env_reset(static: EnvStatic, params: EnvParams, key: jax.Array):
         static, params, physics, obj_pos, obj_quat, goal_pos, goal_quat,
         state.action_buf, state.scene,
     )
+    if static.obs_noise_std > 0.0:
+        key, k_obs = jax.random.split(state.key)
+        noise = static.obs_noise_std * jax.random.normal(k_obs, obs.shape)
+        if not static.normalize_obs:
+            noise = noise * (params.obs_scale_high - params.obs_scale_low) * 0.5
+        obs = obs + noise
+        state = state.replace(key=key)
     state = state.replace(
         physics=physics,
         applied_torque=tau,
