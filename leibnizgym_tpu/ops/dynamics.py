@@ -50,18 +50,30 @@ def mass_matrix(
     q: jax.Array,
     link_masses: jax.Array | None = None,
     armature: jax.Array | None = None,
+    fk=None,
+    base_masses: jax.Array | None = None,
+    base_inertias: jax.Array | None = None,
 ) -> jax.Array:
     """3x3 joint-space mass matrix of one finger; ``q`` shape (3,).
 
     ``link_masses`` (3,) scales masses AND inertias proportionally (DR knob:
     density-style randomization keeps the inertia/mass ratio fixed).
+
+    ``fk``/``base_masses``/``base_inertias`` override the default
+    trifingerpro chain (robot-variant support, ops/generic_chain.py): any
+    FingerFK-shaped structure and matching link inertial tables work — the
+    Jacobian assembly below is chain-agnostic.
     """
-    fk = finger_fk(q)
+    if fk is None:
+        fk = finger_fk(q)
     jv, jw = link_jacobians(fk)
-    base_masses = jnp.asarray(tf_model.LINK_MASSES)
+    if base_masses is None:
+        base_masses = jnp.asarray(tf_model.LINK_MASSES)
+    if base_inertias is None:
+        base_inertias = jnp.asarray(tf_model.LINK_INERTIAS)
     masses = base_masses if link_masses is None else link_masses
     scale = masses / base_masses
-    inertias = jnp.asarray(tf_model.LINK_INERTIAS) * scale[:, None, None]
+    inertias = base_inertias * scale[:, None, None]
 
     # world-frame link inertias: R I R^T
     r = fk.link_rot
@@ -118,20 +130,28 @@ def bias_forces(
     gravity: jax.Array,
     link_masses: jax.Array | None = None,
     armature: jax.Array | None = None,
+    fk=None,
+    base_masses: jax.Array | None = None,
+    base_inertias: jax.Array | None = None,
 ) -> jax.Array:
     """Coriolis/centrifugal + gravity bias via recursive Newton-Euler
     (qdd = 0, base acceleration = -gravity). Validated against the
     Lagrangian/autodiff formulation in tests; ~4x cheaper.
 
     ``armature`` is accepted for signature parity but does not enter the bias
-    (it only adds to the mass-matrix diagonal).
+    (it only adds to the mass-matrix diagonal). ``fk``/``base_masses``/
+    ``base_inertias`` override the trifingerpro chain (variant support).
     """
     del armature
-    fk = finger_fk(q)
-    base_masses = jnp.asarray(tf_model.LINK_MASSES)
+    if fk is None:
+        fk = finger_fk(q)
+    if base_masses is None:
+        base_masses = jnp.asarray(tf_model.LINK_MASSES)
+    if base_inertias is None:
+        base_inertias = jnp.asarray(tf_model.LINK_INERTIAS)
     masses = base_masses if link_masses is None else link_masses
     scale = masses / base_masses
-    inertias = jnp.asarray(tf_model.LINK_INERTIAS) * scale[:, None, None]
+    inertias = base_inertias * scale[:, None, None]
     r = fk.link_rot
     i_w = r @ inertias @ jnp.swapaxes(r, -1, -2)
 
@@ -190,10 +210,14 @@ def forward_dynamics(
     link_masses: jax.Array | None = None,
     joint_damping: jax.Array | None = None,
     armature: jax.Array | None = None,
+    fk=None,
+    base_masses: jax.Array | None = None,
+    base_inertias: jax.Array | None = None,
 ) -> jax.Array:
     """Joint accelerations qdd of one finger under applied torque ``tau``."""
-    m = mass_matrix(q, link_masses, armature)
-    b = bias_forces(q, qd, gravity, link_masses, armature)
+    m = mass_matrix(q, link_masses, armature, fk, base_masses, base_inertias)
+    b = bias_forces(q, qd, gravity, link_masses, armature, fk,
+                    base_masses, base_inertias)
     total = tau - b
     if joint_damping is not None:
         total = total - joint_damping * qd
