@@ -164,17 +164,29 @@ _D4_CURRICULUM_EXTRA = {
             "activate": True, "bonus": 5000.0,
             "position_tolerance": 0.02, "orientation_tolerance": 0.25,
             "position_tolerance_init": 0.05, "orientation_tolerance_init": 0.8,
-            "tolerance_anneal_frames": 2e9,
         }
     },
-    # goal-orientation difficulty ramp: start with random-yaw-only goals
-    # (swing scaled to 0.2) and grow to fully random orientations by 4e9
-    # env-steps, so the success bonus is reachable while the policy is still
-    # learning to grasp (round-2 fix for the orientation-never-learns result)
+    # SUCCESS-GATED difficulty (round-2 v2): one level scalar drives both the
+    # goal-orientation difficulty (swing 0.2 -> 1.0) and the success
+    # tolerances (5 cm/0.8 rad -> 2 cm/0.25 rad). A host controller raises
+    # the level only while measured successes-per-episode stay above
+    # up_threshold and retreats when they collapse — the frame-based ramp
+    # this replaces outpaced learning and drove success to zero (RESULTS.md)
     "goal_curriculum": {
         "orientation_difficulty_init": 0.2,
-        "anneal_frames": 4e9,
+        "success_gated": True,
+        "up_threshold": 0.5,
+        "down_threshold": 0.1,
+        "up_step": 0.005,
+        "down_step": 0.02,
+        "window_samples": 4,
     },
+    # agent-side half of the recipe (applied to rlg.params.config when this
+    # gym preset is selected): sigma floor ~0.2 against premature entropy
+    # collapse, and a doubled KL target — the +5000 success bonus fires from
+    # the start here (easy yaw-only goals, loose tolerances), inflating
+    # per-minibatch KL and pinning the adaptive LR at min_lr otherwise
+    "rlg_overrides": {"log_std_min": -1.6, "lr_threshold": 0.016},
 }
 
 GYM_PRESETS: Dict[str, Dict[str, Any]] = {
@@ -365,6 +377,11 @@ def parse_cli(argv: List[str]) -> Dict[str, Any]:
                     f"Unknown gym preset {value!r}; options: {sorted(GYM_PRESETS)}"
                 )
             cfg["gym"] = copy.deepcopy(GYM_PRESETS[value])
+            # a gym preset may carry agent-side settings its recipe depends
+            # on (e.g. the D4 curriculum's sigma floor / KL target); applied
+            # here so later rlg.* dot-overrides on the CLI still win
+            for k, v in cfg["gym"].pop("rlg_overrides", {}).items():
+                cfg["rlg"]["params"]["config"][k] = v
         elif key == "rlg":
             if value not in RLG_PRESETS:
                 raise ValueError(

@@ -41,18 +41,15 @@ def sample_scene_params(
         r.update({k: tuple(v) for k, v in ranges.items() if k in DR_DEFAULTS})
     k_cm, k_cs, k_lm, k_fr, k_re = jax.random.split(key, 5)
 
-    cube_mass = base.cube_mass * _u(k_cm, n, *r["cube_mass_scale"])
+    mass_scale = _u(k_cm, n, *r["cube_mass_scale"])
+    cube_mass = base.cube_mass * mass_scale
     size_scale = _u(k_cs, n, *r["cube_size_scale"])
     half = base.cube_half_extents * size_scale[:, None]
-    side_sq = (2.0 * half) ** 2
-    inertia = jnp.stack(
-        [
-            cube_mass / 12.0 * (side_sq[:, 1] + side_sq[:, 2]),
-            cube_mass / 12.0 * (side_sq[:, 0] + side_sq[:, 2]),
-            cube_mass / 12.0 * (side_sq[:, 0] + side_sq[:, 1]),
-        ],
-        axis=-1,
-    )
+    # inertia scales as mass * length^2 under uniform mass/size scaling —
+    # exact for ANY base shape (box, sphere, cuboid) and preserves the
+    # object's *declared* URDF inertia at scale 1 (a from-scratch box
+    # formula here silently replaced ball.urdf's declared sphere inertia)
+    inertia = base.cube_inertia * (mass_scale * size_scale**2)[:, None]
     link_masses = base.link_masses * _u(k_lm, n, *r["link_mass_scale"], (3,))
     fric = _u(k_fr, n, *r["friction_scale"])
     restitution = _u(k_re, n, *r["restitution_range"])

@@ -45,6 +45,7 @@ from leibnizgym_tpu.envs.trifinger.dims import (
 )
 from leibnizgym_tpu.envs.trifinger.rewards import (
     RewardTermSpec,
+    _qmul_c,
     build_reward_specs,
     compute_rewards_c,
     quat_diff_rad_c,
@@ -55,7 +56,6 @@ from leibnizgym_tpu.ops.engine_v2 import physics_step_v2
 from leibnizgym_tpu.ops.types import PhysicsState, SceneParams, SolverConfig
 from leibnizgym_tpu.utils import merged_dict, print_info
 from leibnizgym_tpu.utils.math import (
-    quat_integrate,
     saturate,
     scale_transform,
     unscale_transform,
@@ -102,6 +102,14 @@ class EnvStatic:
     # behavior: fully random goal orientations from the first episode)
     ori_difficulty_init: float
     ori_difficulty_anneal_frames: float
+    # success-gated curriculum (TPU-build extension, round-2): when True the
+    # goal-orientation difficulty AND the success tolerances are driven by
+    # the runtime ``EnvParams.curriculum_level`` scalar (advanced/retreated
+    # by a host-side controller on measured success) instead of the
+    # frame-based ramps above — a frame schedule cannot retreat when it
+    # outpaces learning (the round-2 frame-annealed D4 run collapsed to zero
+    # success once the ramp passed the policy's competence)
+    curriculum_success_gated: bool
     dones_mode: str
     control_decimation: int
     dt: float
@@ -167,6 +175,10 @@ class EnvParams:
     object_radius_3d: jax.Array  # ()
     object_size_z: jax.Array  # ()
     scene_base: SceneParams  # unbatched template for DR resampling
+    # success-gated curriculum position in [0, 1] (only consumed when
+    # static.curriculum_success_gated; a plain array so the host controller
+    # can move it every epoch without recompiling)
+    curriculum_level: jax.Array  # ()
 
 
 @struct.dataclass
@@ -289,6 +301,9 @@ def build_static(config: dict) -> EnvStatic:
         ori_difficulty_anneal_frames=float(
             config.get("goal_curriculum", {}).get("anneal_frames", 0.0)
         ),
+        curriculum_success_gated=bool(
+            config.get("goal_curriculum", {}).get("success_gated", False)
+        ),
         dones_mode=str(config.get("dones_mode", "and")),
         control_decimation=int(config["control_decimation"]),
         dt=float(sim["dt"]),
@@ -405,6 +420,7 @@ def build_params(static: EnvStatic, object_dims: CuboidalObject) -> EnvParams:
             object_size=object_dims.size,
             object_shape="sphere" if static.solver.object_shape == 1 else "box",
         ),
+        curriculum_level=jnp.zeros((), jnp.float32),
     )
 
 
@@ -472,12 +488,19 @@ def _sample_object_state(static: EnvStatic, params: EnvParams, u: jax.Array, n: 
     return pos, tuple(quat[:, i] for i in range(4))
 
 
-def _ori_difficulty_frac(static: EnvStatic, frames: jax.Array):
-    """Goal-orientation curriculum fraction in [init, 1]; None when off."""
-    if static.ori_difficulty_anneal_frames <= 0.0:
+def _ori_difficulty_frac(static: EnvStatic, params: EnvParams, frames: jax.Array):
+    """Goal-orientation curriculum fraction in [init, 1]; None when off.
+
+    Success-gated mode reads the host-controlled ``curriculum_level``;
+    otherwise the legacy frame-based linear ramp (or None = full
+    difficulty, the reference behavior)."""
+    if static.curriculum_success_gated:
+        t = jnp.clip(params.curriculum_level, 0.0, 1.0)
+    elif static.ori_difficulty_anneal_frames > 0.0:
+        env_steps = frames.astype(jnp.float32) * static.num_envs
+        t = jnp.clip(env_steps / static.ori_difficulty_anneal_frames, 0.0, 1.0)
+    else:
         return None
-    env_steps = frames.astype(jnp.float32) * static.num_envs
-    t = jnp.clip(env_steps / static.ori_difficulty_anneal_frames, 0.0, 1.0)
     return static.ori_difficulty_init + t * (1.0 - static.ori_difficulty_init)
 
 
@@ -727,7 +750,7 @@ def _masked_full_reset(
     obj_pos_s, obj_quat_s = _sample_object_state(static, params, u, n)
     goal_cm_s, angvel_cm_s = _sample_goal_poses(
         static, params, u, norm, n,
-        ori_frac=_ori_difficulty_frac(static, state.frames),
+        ori_frac=_ori_difficulty_frac(static, params, state.frames),
     )
 
     m1 = mask[:, None]
@@ -797,7 +820,7 @@ def _masked_goal_reset(
     u, norm = _draw_reset_randoms(static, key, n)
     goal_cm_s, angvel_cm_s = _sample_goal_poses(
         static, params, u, norm, n,
-        ori_frac=_ori_difficulty_frac(static, state.frames),
+        ori_frac=_ori_difficulty_frac(static, params, state.frames),
     )
     mrow = mask[None, :]
     return state.replace(
@@ -809,17 +832,25 @@ def _masked_goal_reset(
 
 def _check_termination(static: EnvStatic, obj_pos, obj_quat, goal_pos,
                        goal_quat, reward, goal_reset_buf, successes, info,
-                       env_steps_count=None):
+                       env_steps_count=None, curriculum_level=None):
     """Success termination (+bonus) — reference trifinger_env.py:1053-1099.
 
     With ``tolerance_anneal_frames > 0`` the tolerances ramp linearly from
     their ``*_init`` values to the final values over env-steps — the
     curriculum mechanism for 6-DoF reposing (early loose successes provide
-    the bonus gradient that fixed tight tolerances never fire)."""
+    the bonus gradient that fixed tight tolerances never fire). In
+    success-gated mode (``static.curriculum_success_gated``) the same lerp
+    is driven by the host-controlled ``curriculum_level`` instead of
+    frames, so the difficulty can hold or retreat."""
     pos_tol = jnp.asarray(static.position_tolerance)
     ori_tol = jnp.asarray(static.orientation_tolerance)
-    if static.tolerance_anneal_frames > 0.0 and env_steps_count is not None:
+    if static.curriculum_success_gated and curriculum_level is not None:
+        frac = jnp.clip(curriculum_level, 0.0, 1.0)
+    elif static.tolerance_anneal_frames > 0.0 and env_steps_count is not None:
         frac = jnp.clip(env_steps_count / static.tolerance_anneal_frames, 0.0, 1.0)
+    else:
+        frac = None
+    if frac is not None:
         pos_tol = static.position_tolerance_init + frac * (
             static.position_tolerance - static.position_tolerance_init
         )
@@ -839,6 +870,16 @@ def _check_termination(static: EnvStatic, obj_pos, obj_quat, goal_pos,
     info["env/current_orientation_goal/count"] = jnp.sum(goal_orientation_reset)
     info["env/pos_dist_mean"] = jnp.mean(pos_dist)
     info["env/ori_dist_mean"] = jnp.mean(ori_dist)
+    if static.curriculum_success_gated and curriculum_level is not None:
+        # strict-tolerance telemetry: fraction of envs meeting the FINAL
+        # tolerances right now, independent of the loosened curriculum
+        # tolerances — the honest capability metric for best-checkpoint
+        # selection and the RESULTS.md success curve
+        strict = (pos_dist <= static.position_tolerance) & (
+            ori_dist <= static.orientation_tolerance
+        )
+        info["env/strict_success_frac"] = jnp.mean(strict.astype(jnp.float32))
+        info["env/curriculum_level"] = jnp.clip(curriculum_level, 0.0, 1.0)
 
     if static.task_difficulty < 4:
         completion = goal_position_reset
@@ -895,15 +936,20 @@ def env_step(static: EnvStatic, params: EnvParams, state: EnvState,
     frames = state.frames + static.control_decimation
 
     # goal movement (reference __update_goal_movement_pre/post: the goal body
-    # integrates its angular velocity inside the sim)
+    # integrates its angular velocity inside the sim). Component-form
+    # first-order update q' = normalize(q + 0.5*dt * omega_quat * q) — no
+    # lane-padded (N, 4) round trip in the hot step (see the EnvState note)
     goal_pose_cm = state.goal_pose_cm
     if static.goal_rotation_active:
-        goal_quat_new = quat_integrate(
-            goal_pose_cm[3:7].T, state.goal_angvel_cm.T,
-            static.dt * static.control_decimation,
-        )
+        h = static.dt * static.control_decimation
+        q = tuple(goal_pose_cm[3 + i] for i in range(4))
+        wx, wy, wz = (state.goal_angvel_cm[i] for i in range(3))
+        dqx, dqy, dqz, dqw = _qmul_c((wx, wy, wz, jnp.zeros_like(wx)), q)
+        nq = (q[0] + 0.5 * h * dqx, q[1] + 0.5 * h * dqy,
+              q[2] + 0.5 * h * dqz, q[3] + 0.5 * h * dqw)
+        inv = jax.lax.rsqrt(nq[0] ** 2 + nq[1] ** 2 + nq[2] ** 2 + nq[3] ** 2)
         goal_pose_cm = jnp.concatenate(
-            [goal_pose_cm[0:3], goal_quat_new.T], axis=0
+            [goal_pose_cm[0:3], jnp.stack([c * inv for c in nq])], axis=0
         )
     goal_pos = tuple(goal_pose_cm[i] for i in range(3))
     goal_quat = tuple(goal_pose_cm[i] for i in range(3, 7))
@@ -940,6 +986,7 @@ def env_step(static: EnvStatic, params: EnvParams, state: EnvState,
     reward, goal_reset_buf, successes, info = _check_termination(
         static, obj_pos, obj_quat, goal_pos, goal_quat, reward,
         state.goal_reset_buf, state.successes, info, env_steps_count,
+        curriculum_level=params.curriculum_level,
     )
 
     # timeout

@@ -267,7 +267,8 @@ def train_iteration(
 
     # ---------------- rollout ------------------------------------------------
     def rollout_step(carry, _):
-        env_state, obs, states, ep_ret, ep_len, fin_ret, fin_n, key = carry
+        (env_state, obs, states, ep_ret, ep_len, fin_ret, fin_n, fin_suc,
+         key) = carry
         key, k_act = jax.random.split(key)
         mu, log_std, _own_value = actor_critic.apply(ts.ac_params, obs)
         noise = jax.random.normal(k_act, mu.shape)
@@ -296,18 +297,26 @@ def train_iteration(
         finished = env_state.reset_buf
         fin_ret = jnp.where(finished, ep_ret, fin_ret)
         fin_n = fin_n + finished.astype(fin_n.dtype)
+        # successes of episodes finishing this step (the buffer zeroes on the
+        # NEXT step's reset, so it still holds the final per-episode count):
+        # the phase-independent signal the success-gated curriculum
+        # controller consumes (successes-per-finished-episode)
+        fin_suc = fin_suc + jnp.sum(
+            jnp.where(finished, env_state.successes, 0).astype(jnp.float32)
+        )
         ep_ret = jnp.where(finished, 0.0, ep_ret)
         ep_len = jnp.where(finished, 0, ep_len)
 
         out = (obs, states, action, mu, log_std, neglogp, value, shaped,
                done.astype(jnp.float32), info)
         return (env_state, next_obs, next_states, ep_ret, ep_len,
-                fin_ret, fin_n, key), out
+                fin_ret, fin_n, fin_suc, key), out
 
     carry0 = (ts.env_state, ts.obs, ts.states, ts.ep_return, ts.ep_len,
-              jnp.zeros(n), jnp.zeros(n, jnp.int32), ts.key)
+              jnp.zeros(n), jnp.zeros(n, jnp.int32), jnp.zeros(()), ts.key)
     carry, traj = jax.lax.scan(rollout_step, carry0, None, length=h)
-    env_state, last_obs, last_states, ep_ret, ep_len, fin_ret, fin_n, key = carry
+    (env_state, last_obs, last_states, ep_ret, ep_len, fin_ret, fin_n,
+     fin_suc, key) = carry
     (b_obs, b_states, b_action, b_mu, b_log_std, b_neglogp, b_value, b_reward,
      b_done, infos) = traj
 
@@ -540,6 +549,7 @@ def train_iteration(
             jnp.where(fin_n > 0, fin_ret, 0.0)
         ),
         "episodes/finished_count": jnp.sum(fin_n).astype(jnp.float32),
+        "episodes/finished_success_sum": fin_suc,
         # per-env vectors (popped by the runner before scalar TB logging)
         "episodes/finished_returns": fin_ret,
         "episodes/finished_n": fin_n,
@@ -568,8 +578,8 @@ def train_iteration(
             "nan/envstate_fin": jnp.stack(
                 [jnp.isfinite(le).all() for le in es_leaves]
             ).all().astype(jnp.float32),
-            "nan/adv_fin": _fin(f_advs), "nan/adv_max": _amax(f_advs),
-            "nan/ret_max": _amax(f_returns),
+            "nan/adv_fin": _fin(advs), "nan/adv_max": _amax(advs),
+            "nan/ret_max": _amax(returns),
             "nan/grad_fin": _fin(gnorms), "nan/grad_max": _amax(gnorms),
             "nan/kl_mb_fin": _fin(kl_per_mb),
             # index of the first non-finite minibatch kl (flat), -1 if none

@@ -106,6 +106,37 @@ class Runner:
         self.game_rewards = AverageMeter(self.ppo_cfg.games_to_track)
         self.ts: Optional[PPOTrainState] = None
 
+        # success-gated curriculum controller (host side of
+        # EnvStatic.curriculum_success_gated): advances/retreats the device
+        # scalar EnvParams.curriculum_level on successes-per-finished-episode.
+        # Episodes finish synchronized (timeout resets), so one sample
+        # arrives per ~episode_length/horizon epochs; steps are sized per
+        # SAMPLE, not per epoch.
+        gc = dict(task_cfg.get("goal_curriculum", {}) or {})
+        self._cur_gated = self.static.curriculum_success_gated
+        self._cur_level = 0.0
+        if self._cur_gated:
+            self._cur_up_thresh = float(gc.get("up_threshold", 0.5))
+            self._cur_down_thresh = float(gc.get("down_threshold", 0.1))
+            self._cur_up_step = float(gc.get("up_step", 0.005))
+            self._cur_down_step = float(gc.get("down_step", 0.02))
+            self._cur_window = int(gc.get("window_samples", 4))
+            self._suc_win = collections.deque(maxlen=self._cur_window)
+            self._strict_win = collections.deque(maxlen=64)
+            self._best_cur_score = -1.0
+            print_info(
+                f"Runner: success-gated curriculum on "
+                f"(up>{self._cur_up_thresh}, down<{self._cur_down_thresh}, "
+                f"steps +{self._cur_up_step}/-{self._cur_down_step} per "
+                f"episode sample, window {self._cur_window})"
+            )
+
+    def _set_curriculum_level(self, level: float):
+        self._cur_level = float(np.clip(level, 0.0, 1.0))
+        self.env_params = self.env_params.replace(
+            curriculum_level=jnp.asarray(self._cur_level, jnp.float32)
+        )
+
     # ------------------------------------------------------------------ setup
 
     def reset(self):
@@ -128,27 +159,38 @@ class Runner:
 
     # ----------------------------------------------------------- checkpointing
 
-    def _ckpt_payload(self):
+    def _ckpt_payload(self, ts=None):
         """Learner state saved/restored (env state intentionally excluded:
         envs re-reset on resume, matching the reference where env state is
         never checkpointed — SURVEY.md §5). Optimizer state is included for
         faithful training resume."""
-        return {
-            "ac_params": self.ts.ac_params,
-            "cv_params": self.ts.cv_params,
-            "ac_opt_state": self.ts.ac_opt_state,
-            "cv_opt_state": self.ts.cv_opt_state,
-            "lr": self.ts.lr,
-            "epoch": self.ts.epoch,
-            "frame": self.ts.frame,
+        ts = ts if ts is not None else self.ts
+        payload = {
+            "ac_params": ts.ac_params,
+            "cv_params": ts.cv_params,
+            "ac_opt_state": ts.ac_opt_state,
+            "cv_opt_state": ts.cv_opt_state,
+            "lr": ts.lr,
+            "epoch": ts.epoch,
+            "frame": ts.frame,
         }
+        if self._cur_gated:
+            # resume must not restart the curriculum from easy
+            payload["curriculum_level"] = jnp.asarray(
+                self._cur_level, jnp.float32
+            )
+        return payload
 
-    def save(self, name: str):
+    def save(self, name: str, ts=None):
+        """Checkpoint ``ts`` (default: the CURRENT train state). The
+        pipelined train loop passes the state of the epoch whose metrics
+        triggered the save — 'best' must hold the policy that actually
+        achieved the best reward, not one K epochs ahead of it."""
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(os.path.join(self.nn_dir, name))
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, self._ckpt_payload(), force=True)
+        ckptr.save(path, self._ckpt_payload(ts), force=True)
         ckptr.wait_until_finished()
         return path
 
@@ -180,6 +222,9 @@ class Runner:
             payload = ckptr.restore(os.path.abspath(path), template)
         # old checkpoints stored the frame counter as int32
         payload["frame"] = jnp.asarray(payload["frame"], jnp.float32)
+        if "curriculum_level" in payload:
+            self._set_curriculum_level(float(payload.pop("curriculum_level")))
+            print_info(f"Restored curriculum level: {self._cur_level:.3f}")
         self.ts = self.ts.replace(**payload)
         print_info(f"Restored checkpoint: {path}")
 
@@ -239,12 +284,12 @@ class Runner:
         depth = max(1, cfg.host_pipeline_depth)
         if cfg.nan_telemetry:
             depth = 1
-        pending = collections.deque()  # (epoch, device metrics, enqueue wall time)
+        pending = collections.deque()  # (epoch, device metrics, that epoch's ts)
         self._best_reward = best_reward
         last_t = time.time()
         stop = False
 
-        def process(epoch: int, metrics, dt: float) -> bool:
+        def process(epoch: int, metrics, dt: float, ts_epoch) -> bool:
             """Handle one epoch's fetched metrics; True = stop training."""
             nonlocal prev_ts
             self._last_progress = time.time()
@@ -257,6 +302,40 @@ class Runner:
             fin_n = np.asarray(metrics.pop("episodes/finished_n"))
             if fin_n.sum() > 0:
                 self.game_rewards.update(fin_rets[fin_n > 0])
+            if self._cur_gated:
+                fc = float(metrics.get("episodes/finished_count", 0.0))
+                self._strict_win.append(
+                    float(metrics.get("env/strict_success_frac", 0.0))
+                )
+                if fc > 0:
+                    # one sample per synchronized episode boundary:
+                    # successes per finished episode under CURRENT tolerances
+                    spe = float(metrics["episodes/finished_success_sum"]) / fc
+                    self._suc_win.append(spe)
+                    m = float(np.mean(self._suc_win))
+                    lvl = self._cur_level
+                    if (len(self._suc_win) == self._suc_win.maxlen
+                            and m > self._cur_up_thresh):
+                        lvl += self._cur_up_step
+                    elif m < self._cur_down_thresh and lvl > 0.0:
+                        lvl -= self._cur_down_step
+                    if lvl != self._cur_level:
+                        self._set_curriculum_level(lvl)
+                    if self.writer is not None:
+                        self.writer.add_scalar(
+                            "curriculum/success_per_episode", spe, frame
+                        )
+                        self.writer.add_scalar(
+                            "curriculum/level_target", self._cur_level, frame
+                        )
+                    # capability checkpoint: highest level reached, ties
+                    # broken by strict-tolerance success (NOT shaped reward,
+                    # which kept rising through the round-2 collapse)
+                    score = (float(metrics.get("env/curriculum_level", 0.0))
+                             * 10.0 + float(np.mean(self._strict_win)))
+                    if score > self._best_cur_score:
+                        self._best_cur_score = score
+                        self.save("best_curriculum", ts_epoch)
             fps = cfg.horizon * self.static.num_envs / dt
             if self.writer is not None:
                 for k, v in metrics.items():
@@ -279,9 +358,9 @@ class Runner:
                 and mean_rew > self._best_reward
             ):
                 self._best_reward = mean_rew
-                self.save("best")
+                self.save("best", ts_epoch)
             if cfg.save_frequency and epoch % cfg.save_frequency == 0:
-                self.save("last")
+                self.save("last", ts_epoch)
             if (self.game_rewards.current_size > 0
                     and self.game_rewards.get_mean() >= cfg.score_to_win):
                 print_notify(
@@ -309,7 +388,9 @@ class Runner:
                     with open(path, "wb") as fh:
                         pickle.dump(jax.device_get(prev_ts), fh)
                     print_error(f"pre-nan train state dumped to {path}")
-                self.save("nan_halt")
+                # ts_epoch is the FIRST state whose metrics are bad —
+                # not the pipeline head, which is up to depth-1 epochs past it
+                self.save("nan_halt", ts_epoch)
                 return True
             return False
 
@@ -321,21 +402,21 @@ class Runner:
             self.ts, metrics_dev = self._train_iter(
                 cfg, self.static, self.env_params, self.ts
             )
-            pending.append((epoch, metrics_dev))
+            pending.append((epoch, metrics_dev, self.ts))
             if len(pending) >= depth:
-                e, m = pending.popleft()
+                e, m, ts_e = pending.popleft()
                 now = time.time()
                 # steady-state wall time per epoch (the fetch of an epoch
                 # `depth` back only blocks if the device is actually behind)
                 dt, last_t = now - last_t, now
-                stop = process(e, jax.device_get(m), dt)
+                stop = process(e, jax.device_get(m), dt, ts_e)
                 if stop:
                     break
         while pending and not stop:
-            e, m = pending.popleft()
+            e, m, ts_e = pending.popleft()
             now = time.time()
             dt, last_t = now - last_t, now
-            stop = process(e, jax.device_get(m), dt)
+            stop = process(e, jax.device_get(m), dt, ts_e)
         best_reward = self._best_reward
         self.save("final")
         total = time.time() - t_start
@@ -348,12 +429,23 @@ class Runner:
     # ---------------------------------------------------------------- playing
 
     def play(self, checkpoint: Optional[str] = None, num_steps: int = 1000,
-             deterministic: bool = True):
-        """Run the trained policy (reference play path, rlg_hydra README.md:83-97)."""
+             deterministic: bool = True,
+             curriculum_level: Optional[float] = None):
+        """Run the trained policy (reference play path, rlg_hydra README.md:83-97).
+
+        In success-gated curriculum mode the env evaluates at FULL
+        difficulty (level 1.0: fully random goal orientations, final
+        tolerances) unless ``curriculum_level`` overrides it."""
         if self.ts is None:
             self.reset()
         if checkpoint:
             self.restore(checkpoint)
+        if self._cur_gated:
+            lvl = 1.0 if curriculum_level is None else float(curriculum_level)
+            self.env.params = self.env.params.replace(
+                curriculum_level=jnp.asarray(lvl, jnp.float32)
+            )
+            print_info(f"play: curriculum level {lvl:.2f}")
         actor_critic, _ = make_networks(self.ppo_cfg, self.static)
         cfg = self.ppo_cfg
 

@@ -28,6 +28,33 @@ def run_training(
     visualize: bool = False,
 ):
     """Train or play, mirroring rl_games Runner.run(vargs)."""
+    if watchdog_timeout and train:
+        # Init-phase failure detector: Runner construction is the FIRST
+        # device touch (backend init through the remote tunnel), and a
+        # wedged tunnel can hang `jax.devices()` itself — before
+        # Runner.train() ever arms its epoch watchdog — stalling the
+        # supervisor forever (observed round 2). Arm a one-shot deadline
+        # here; Runner.train()'s own watchdog takes over once it starts.
+        import os as _os
+        import threading
+        import time as _time
+
+        deadline = _time.time() + max(
+            watchdog_timeout, Runner._FIRST_EPOCH_WATCHDOG_FLOOR
+        )
+        init_done = threading.Event()
+
+        def _init_watch():
+            while not init_done.is_set():
+                if _time.time() > deadline:
+                    print_info(
+                        "INIT WATCHDOG: backend/env init did not complete "
+                        "in time — exiting 42 for supervised restart"
+                    )
+                    _os._exit(42)
+                _time.sleep(5.0)
+
+        threading.Thread(target=_init_watch, daemon=True).start()
     runner = Runner(
         task_cfg=task_cfg,
         agent_params=agent_cfg["params"],
@@ -40,6 +67,8 @@ def run_training(
     if checkpoint:
         runner.restore(checkpoint)
     if train:
+        if watchdog_timeout:
+            init_done.set()
         return runner.train(max_epochs=max_epochs, watchdog_timeout=watchdog_timeout)
     return runner.play(num_steps=play_steps)
 

@@ -44,10 +44,13 @@ def build_state(d, env, prefix="pre_"):
         if name not in d:
             raise KeyError(f"{name} missing from dump")
         v = jnp.asarray(d[name])
-        # template leaves are batched (1, ...) (or unbatched scalars like
-        # `frames`/broadcast scene scalars); dump leaves are per-env.
+        # template leaves are batched (1, ...) row-major or (..., 1)
+        # component-major (_cm, env axis last) — or unbatched scalars like
+        # `frames`/broadcast scene scalars; dump leaves are per-env.
         if leaf.ndim == v.ndim + 1 and leaf.shape[0] == 1:
             v = v[None]
+        elif leaf.ndim == v.ndim + 1 and leaf.shape[-1] == 1:
+            v = v[..., None]
         v = v.astype(leaf.dtype)
         assert v.shape == leaf.shape, (name, v.shape, leaf.shape)
         leaves.append(v)

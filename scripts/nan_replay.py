@@ -75,13 +75,24 @@ def main():
         next_obs = jnp.clip(next_obs, -cfg.clip_obs, cfg.clip_obs)
         return new_env_state, next_obs, key, clipped, reward
 
+    n_envs = static.num_envs
+
     def bad_envs(state):
-        """Per-env any-nonfinite mask over all float leaves."""
+        """Per-env any-nonfinite mask over all float leaves.
+
+        Handles both layouts: env-axis-leading (N, ...) and the
+        component-major ``_cm`` leaves (k, N) with the env axis LAST."""
         masks = []
         for leaf in jax.tree_util.tree_leaves(state):
             if not jnp.issubdtype(leaf.dtype, jnp.inexact):
                 continue
-            flat = np.asarray(leaf).reshape(leaf.shape[0], -1)
+            a = np.asarray(leaf)
+            if a.ndim >= 1 and a.shape[0] == n_envs:
+                flat = a.reshape(n_envs, -1)
+            elif a.ndim >= 2 and a.shape[-1] == n_envs:
+                flat = np.moveaxis(a, -1, 0).reshape(n_envs, -1)
+            else:
+                continue  # scalar leaves (frames, key) have no env axis
             masks.append(~np.isfinite(flat).all(axis=1))
         return np.logical_or.reduce(masks)
 
@@ -105,8 +116,12 @@ def main():
                         for p in path
                     )
                     leaf = np.asarray(leaf)
-                    out[name] = leaf[idx] if (leaf.ndim >= 1 and
-                                              leaf.shape[0] == n) else leaf
+                    if leaf.ndim >= 1 and leaf.shape[0] == n:
+                        out[name] = leaf[idx]
+                    elif leaf.ndim >= 2 and leaf.shape[-1] == n:
+                        out[name] = leaf[..., idx]  # component-major (_cm)
+                    else:
+                        out[name] = leaf
                 return out
 
             np.savez(
