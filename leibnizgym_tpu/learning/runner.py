@@ -124,6 +124,7 @@ class Runner:
             self._suc_win = collections.deque(maxlen=self._cur_window)
             self._strict_win = collections.deque(maxlen=64)
             self._best_cur_score = -1.0
+            self._last_cur_save = 0.0
             print_info(
                 f"Runner: success-gated curriculum on "
                 f"(up>{self._cur_up_thresh}, down<{self._cur_down_thresh}, "
@@ -330,11 +331,18 @@ class Runner:
                         )
                     # capability checkpoint: highest level reached, ties
                     # broken by strict-tolerance success (NOT shaped reward,
-                    # which kept rising through the round-2 collapse)
+                    # which kept rising through the round-2 collapse).
+                    # Throttled: during a steady climb the score improves on
+                    # every level raise (~every episode sample) and each
+                    # synchronous Orbax save costs ~1 s of device idle.
                     score = (float(metrics.get("env/curriculum_level", 0.0))
                              * 10.0 + float(np.mean(self._strict_win)))
-                    if score > self._best_cur_score:
+                    now = time.time()
+                    if score > self._best_cur_score and (
+                        now - self._last_cur_save > 60.0
+                    ):
                         self._best_cur_score = score
+                        self._last_cur_save = now
                         self.save("best_curriculum", ts_epoch)
             fps = cfg.horizon * self.static.num_envs / dt
             if self.writer is not None:
