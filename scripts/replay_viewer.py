@@ -36,14 +36,14 @@ from leibnizgym_tpu.utils.math import quat_to_matrix
 
 
 def record_rollout(env: TrifingerEnv, num_steps: int, checkpoint: str | None,
-                   env_index: int = 0):
+                   env_index: int = 0, ppo_cfg=None):
     """Roll out and capture (tips, cube pose, goal pose) per step."""
     policy = None
     if checkpoint:
         from leibnizgym_tpu.learning.ppo import PPOConfig, make_networks
         import orbax.checkpoint as ocp
 
-        cfg = PPOConfig()
+        cfg = ppo_cfg if ppo_cfg is not None else PPOConfig()
         actor_critic, _ = make_networks(cfg, env.static)
         ckptr = ocp.StandardCheckpointer()
         # restore via an abstract template from checkpoint metadata so a
@@ -101,6 +101,14 @@ def main():
     ap.add_argument("--num-envs", type=int, default=4)
     ap.add_argument("--env-index", type=int, default=0)
     ap.add_argument("--difficulty", type=int, default=1)
+    ap.add_argument("--gym", type=str, default=None,
+                    help="gym preset name (e.g. trifinger_difficulty_4_"
+                         "curriculum); builds the env AND the network dims "
+                         "the checkpoint was trained with (keypoint obs, "
+                         "substeps, reward config)")
+    ap.add_argument("--level", type=float, default=1.0,
+                    help="curriculum level for success-gated presets "
+                         "(default 1.0 = full difficulty)")
     ap.add_argument("--checkpoint", type=str, default=None)
     ap.add_argument("--out", type=str, default="/tmp/trifinger_replay.gif")
     ap.add_argument("--stride", type=int, default=2, help="render every k-th step")
@@ -112,12 +120,32 @@ def main():
     import matplotlib.animation as animation
     import matplotlib.pyplot as plt
 
-    env = TrifingerEnv(
-        config={"num_instances": args.num_envs, "command_mode": "torque",
-                "task_difficulty": args.difficulty, "sim": {"substeps": 2}},
-        verbose=False,
-    )
-    frames = record_rollout(env, args.steps, args.checkpoint, args.env_index)
+    ppo_cfg = None
+    if args.gym:
+        from leibnizgym_tpu.config.presets import parse_cli, update_cfg
+        from leibnizgym_tpu.learning.ppo import PPOConfig
+
+        cfg = update_cfg(parse_cli(
+            [f"gym={args.gym}", f"args.num_envs={args.num_envs}"]
+        ))
+        gym_cfg = cfg["gym"]
+        env = TrifingerEnv(config=gym_cfg, verbose=False)
+        ppo_cfg = PPOConfig.from_rlg_params(
+            cfg["rlg"]["params"], num_actors=args.num_envs
+        )
+        if env.static.curriculum_success_gated:
+            env.params = env.params.replace(
+                curriculum_level=jnp.asarray(args.level, jnp.float32)
+            )
+            print_info(f"replay at curriculum level {args.level:.2f}")
+    else:
+        env = TrifingerEnv(
+            config={"num_instances": args.num_envs, "command_mode": "torque",
+                    "task_difficulty": args.difficulty, "sim": {"substeps": 2}},
+            verbose=False,
+        )
+    frames = record_rollout(env, args.steps, args.checkpoint, args.env_index,
+                            ppo_cfg=ppo_cfg)
     frames = frames[:: args.stride]
     half = float(tf_model.CUBE_SIZE / 2)
 
