@@ -182,25 +182,41 @@ class Runner:
             )
         return payload
 
-    def save(self, name: str, ts=None):
+    def _checkpointer(self):
+        """One persistent async checkpointer for the Runner's lifetime.
+        orbax's StandardCheckpointer is an AsyncCheckpointer: ``save``
+        returns after staging host copies and commits in a background
+        thread (waiting for any previous in-flight save first), so the
+        ~1 s directory commit overlaps training instead of idling the
+        device. ``save(..., wait=True)`` / ``flush_saves()`` block."""
+        if getattr(self, "_ckptr", None) is None:
+            import orbax.checkpoint as ocp
+
+            self._ckptr = ocp.StandardCheckpointer()
+        return self._ckptr
+
+    def save(self, name: str, ts=None, wait: bool = False):
         """Checkpoint ``ts`` (default: the CURRENT train state). The
         pipelined train loop passes the state of the epoch whose metrics
         triggered the save — 'best' must hold the policy that actually
         achieved the best reward, not one K epochs ahead of it."""
-        import orbax.checkpoint as ocp
-
         path = os.path.abspath(os.path.join(self.nn_dir, name))
-        ckptr = ocp.StandardCheckpointer()
+        ckptr = self._checkpointer()
         ckptr.save(path, self._ckpt_payload(ts), force=True)
-        ckptr.wait_until_finished()
+        if wait:
+            ckptr.wait_until_finished()
         return path
 
-    def restore(self, path: str):
-        import orbax.checkpoint as ocp
+    def flush_saves(self):
+        """Block until any in-flight async checkpoint commit completes."""
+        if getattr(self, "_ckptr", None) is not None:
+            self._ckptr.wait_until_finished()
 
+    def restore(self, path: str):
         if self.ts is None:
             self.reset()
-        ckptr = ocp.StandardCheckpointer()
+        # shared async checkpointer: restore waits for in-flight saves first
+        ckptr = self._checkpointer()
         template = self._ckpt_payload()
         try:
             payload = ckptr.restore(os.path.abspath(path), template)
@@ -398,7 +414,7 @@ class Runner:
                     print_error(f"pre-nan train state dumped to {path}")
                 # ts_epoch is the FIRST state whose metrics are bad —
                 # not the pipeline head, which is up to depth-1 epochs past it
-                self.save("nan_halt", ts_epoch)
+                self.save("nan_halt", ts_epoch, wait=True)
                 return True
             return False
 
@@ -426,7 +442,7 @@ class Runner:
             dt, last_t = now - last_t, now
             stop = process(e, jax.device_get(m), dt, ts_e)
         best_reward = self._best_reward
-        self.save("final")
+        self.save("final", wait=True)
         total = time.time() - t_start
         print_notify(
             f"Training done: {epochs} epochs, {int(self.ts.frame)} frames, "
