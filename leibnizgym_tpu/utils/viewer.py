@@ -23,6 +23,36 @@ _CORNER_SIGNS = np.array(
     [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
     dtype=np.float64,
 )
+# cube wireframe: corner pairs whose sign vectors differ in exactly one axis
+_EDGES = [
+    (i, j)
+    for i in range(8)
+    for j in range(i + 1, 8)
+    if int(np.sum(_CORNER_SIGNS[i] != _CORNER_SIGNS[j])) == 1
+]
+
+
+def _np_quat_to_matrix(q: np.ndarray) -> np.ndarray:
+    """(x, y, z, w) quaternion to rotation matrix (numpy, host-side)."""
+    x, y, z, w = (float(v) for v in q)
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+def _draw_wirecube(ax, pos, rot, half, xi: int, zi: int, **line_kw):
+    """Project a cube wireframe onto axes (xi, zi) of the world frame."""
+    corners = pos[None, :] + (_CORNER_SIGNS * half) @ rot.T
+    for i, j in _EDGES:
+        ax.plot(
+            [corners[i, xi], corners[j, xi]],
+            [corners[i, zi], corners[j, zi]],
+            **line_kw,
+        )
 
 
 def extract_frame(state, env_index: int = 0) -> dict:
@@ -50,19 +80,27 @@ def draw_frame(ax_top, ax_side, f: dict, half: float):
         ax.set_aspect("equal")
     r = tf_model.WALL_INNER_RADIUS
     ax_top.add_patch(patches.Circle((0, 0), r, fill=False, color="gray"))
-    corners = f["cube_pos"][None, :] + (_CORNER_SIGNS * half) @ f["cube_rot"].T
-    ax_top.scatter(corners[:, 0], corners[:, 1], s=6, c="tab:orange")
-    ax_top.scatter(*f["cube_pos"][:2], s=40, c="tab:red", label="cube")
-    ax_top.scatter(*f["goal"][:2], s=40, marker="*", c="tab:green", label="goal")
+    goal = f["goal"]
+    # goal orientation wireframe (dashed) makes 6-DoF reposing (difficulty 4)
+    # visually checkable — a position star alone can't show orientation match
+    goal_rot = (
+        _np_quat_to_matrix(goal[3:7]) if goal.shape[0] >= 7 else np.eye(3)
+    )
+    for ax, xi, zi in ((ax_top, 0, 1), (ax_side, 0, 2)):
+        _draw_wirecube(ax, goal[:3], goal_rot, half, xi, zi,
+                       color="tab:green", lw=1.0, ls="--", alpha=0.9)
+        _draw_wirecube(ax, f["cube_pos"], f["cube_rot"], half, xi, zi,
+                       color="tab:orange", lw=1.2)
+    ax_top.scatter(*f["cube_pos"][:2], s=25, c="tab:red", label="cube")
+    ax_top.scatter(*goal[:2], s=40, marker="*", c="tab:green", label="goal")
     ax_top.scatter(f["tips"][:, 0], f["tips"][:, 1], s=30, c="tab:blue", label="tips")
     ax_top.set_xlim(-0.25, 0.25)
     ax_top.set_ylim(-0.25, 0.25)
     ax_top.set_title("top view")
     ax_top.legend(loc="upper right", fontsize=6)
     ax_side.axhline(0, color="gray", lw=1)
-    ax_side.scatter(corners[:, 0], corners[:, 2], s=6, c="tab:orange")
-    ax_side.scatter(f["cube_pos"][0], f["cube_pos"][2], s=40, c="tab:red")
-    ax_side.scatter(f["goal"][0], f["goal"][2], s=40, marker="*", c="tab:green")
+    ax_side.scatter(f["cube_pos"][0], f["cube_pos"][2], s=25, c="tab:red")
+    ax_side.scatter(goal[0], goal[2], s=40, marker="*", c="tab:green")
     ax_side.scatter(f["tips"][:, 0], f["tips"][:, 2], s=30, c="tab:blue")
     ax_side.set_xlim(-0.25, 0.25)
     ax_side.set_ylim(-0.02, 0.35)
