@@ -262,11 +262,25 @@ def build_static(config: dict) -> EnvStatic:
         raise ValueError(
             f"Invalid object_type: {object_type!r} not in ['cube', 'sphere']."
         )
+    # trace-time contact-group gates (sim.contact_pairs, all default ON):
+    # a pair a task cannot activate costs zero compute when disabled — the
+    # engines do not even build the group (ops/types.py SolverConfig)
+    pairs = dict(sim.get("contact_pairs", {}) or {})
+    unknown = set(pairs) - {
+        "cube_wall", "tip_ground", "tip_wall", "link_cube", "torsion"
+    }
+    if unknown:
+        raise ValueError(f"Invalid sim.contact_pairs keys: {sorted(unknown)}")
     solver = SolverConfig(
         substeps=int(sim["substeps"]),
         solver_iterations=int(sim["physx"]["num_position_iterations"]),
         solver_type=1 if tpu_solver == "tgs" else 0,
         object_shape=1 if object_type == "sphere" else 0,
+        enable_cube_wall=bool(pairs.get("cube_wall", True)),
+        enable_tip_ground=bool(pairs.get("tip_ground", True)),
+        enable_tip_wall=bool(pairs.get("tip_wall", True)),
+        enable_link_cube=bool(pairs.get("link_cube", True)),
+        enable_torsion=bool(pairs.get("torsion", True)),
     )
     return EnvStatic(
         num_envs=int(config["num_instances"]),

@@ -64,8 +64,11 @@ class _FingerPre(NamedTuple):
     samp_a: jax.Array  # (3, S, 3, 3)
 
 
-def _finger_precompute(q_f: jax.Array, params: SceneParams) -> _FingerPre:
-    """q_f: (3 fingers, 3 joints)."""
+def _finger_precompute(q_f: jax.Array, params: SceneParams,
+                       with_samples: bool = True) -> _FingerPre:
+    """q_f: (3 fingers, 3 joints). ``with_samples=False`` (the link-cube
+    contact group trace-time gated off) skips the lower-link sample
+    jacobians entirely and returns zero-length sample arrays."""
 
     def per_finger(q3, mount_rot):
         fk = finger_fk(q3)
@@ -78,6 +81,11 @@ def _finger_precompute(q_f: jax.Array, params: SceneParams) -> _FingerPre:
         # transpose gives M^-1 J_w^T with impulse index last
         a_tip = jac_w @ minv_jt
         tip_w = MOUNT_POS + mount_rot @ fk.tip_pos
+
+        if not with_samples:
+            empty = jnp.zeros((0, 3)), jnp.zeros((0, 3, 3))
+            return (tip_w, jac_w, minv_jt, a_tip, empty[0], empty[1],
+                    jnp.zeros((0, 3, 3)), jnp.zeros((0, 3, 3)))
 
         # lower-link shaft sample points: sphere centers along the knee->tip
         # segment (replaces the reference's forearm V-HACD collision meshes,
@@ -131,7 +139,7 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
     q_f = state.q.reshape(3, 3)
 
     # ---- per-substep precomputation --------------------------------------
-    pre = _finger_precompute(q_f, params)
+    pre = _finger_precompute(q_f, params, with_samples=cfg.enable_link_cube)
     body = cube_body(state.cube_pos, state.cube_quat,
                      params.cube_mass, params.cube_inertia)
     half = params.cube_half_extents
@@ -149,23 +157,31 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
     ground_n = jnp.array([0.0, 0.0, 1.0])
     if sphere_obj:
         a_pts = (state.cube_pos - ground_n * radius_o)[None]  # (1, 3)
-        rho_c = jnp.linalg.norm(state.cube_pos[0:2])
-        outward = state.cube_pos[0:2] / jnp.maximum(rho_c, 1e-9)
-        b_pts = (state.cube_pos + jnp.concatenate(
-            [outward * radius_o, jnp.zeros(1)]
-        ))[None]
-        b_depth = (rho_c + radius_o - params.wall_radius)[None]
-        b_n = jnp.concatenate([-outward, jnp.zeros(1)])[None]
+        if cfg.enable_cube_wall:
+            rho_c = jnp.linalg.norm(state.cube_pos[0:2])
+            outward = state.cube_pos[0:2] / jnp.maximum(rho_c, 1e-9)
+            b_pts = (state.cube_pos + jnp.concatenate(
+                [outward * radius_o, jnp.zeros(1)]
+            ))[None]
+            b_depth = (rho_c + radius_o - params.wall_radius)[None]
+            b_n = jnp.concatenate([-outward, jnp.zeros(1)])[None]
     else:
         corners_w = state.cube_pos + jnp.einsum(
             "ij,cj->ci", body.rot, _CORNER_SIGNS * half
         )  # (8, 3)
-        a_pts = b_pts = corners_w
-        rho = jnp.linalg.norm(corners_w[:, 0:2], axis=-1)
-        b_depth = rho - params.wall_radius
-        inward = -corners_w[:, 0:2] / jnp.maximum(rho[:, None], 1e-9)
-        b_n = jnp.concatenate([inward, jnp.zeros((8, 1))], axis=-1)
+        a_pts = corners_w
+        if cfg.enable_cube_wall:
+            b_pts = corners_w
+            rho = jnp.linalg.norm(corners_w[:, 0:2], axis=-1)
+            b_depth = rho - params.wall_radius
+            inward = -corners_w[:, 0:2] / jnp.maximum(rho[:, None], 1e-9)
+            b_n = jnp.concatenate([inward, jnp.zeros((8, 1))], axis=-1)
     _P = a_pts.shape[0]  # object contact points per group (static)
+    if not cfg.enable_cube_wall:
+        b_pts = jnp.zeros((0, 3))
+        b_depth = jnp.zeros(0)
+        b_n = jnp.zeros((0, 3))
+    _PB = b_pts.shape[0]  # wall contact points (0 when gated off)
 
     # ---- contact slot construction ---------------------------------------
     # group A: object points vs ground
@@ -205,15 +221,19 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
     c_n, c_depth, c_point = jax.vmap(tip_cube)(tip_centers)
     c_r = c_point - state.cube_pos
 
+    # trace-time gated finger-side group counts (0 = group not built)
+    _ND = 3 if cfg.enable_tip_ground else 0
+    _NE = 3 if cfg.enable_tip_wall else 0
+
     # group D: tip spheres vs ground (3)
-    d_depth = params.tip_radius - tip_centers[:, 2]
+    d_depth = (params.tip_radius - tip_centers[:, 2])[:_ND]
 
     # group E: tip spheres vs arena wall (3); inward radial normal, acts on
     # the finger only (reference stage collision, trifinger_env.py:874-937)
-    e_rho = jnp.linalg.norm(tip_centers[:, 0:2], axis=-1)
+    e_rho = jnp.linalg.norm(tip_centers[:_NE, 0:2], axis=-1)
     e_depth = e_rho + params.tip_radius - params.wall_radius
-    e_inward = -tip_centers[:, 0:2] / jnp.maximum(e_rho[:, None], 1e-9)
-    e_n = jnp.concatenate([e_inward, jnp.zeros((3, 1))], axis=-1)
+    e_inward = -tip_centers[:_NE, 0:2] / jnp.maximum(e_rho[:, None], 1e-9)
+    e_n = jnp.concatenate([e_inward, jnp.zeros((_NE, 1))], axis=-1)
 
     # group F: lower-link shaft samples vs object (3 fingers x S samples)
     def link_cube(center, radius):
@@ -221,7 +241,7 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
         depth = radius - sdist
         return n_w, depth, point
 
-    _S = len(tf_model.LOWER_LINK_SAMPLES)
+    _S = len(tf_model.LOWER_LINK_SAMPLES) if cfg.enable_link_cube else 0
     _SAMP_RADII = [r for _, r in tf_model.LOWER_LINK_SAMPLES]
     f_n = [[None] * _S for _ in range(3)]
     f_depth = [[None] * _S for _ in range(3)]
@@ -254,13 +274,17 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
     def samp_vel(qd_f_, f, s):
         return pre.samp_jac_w[f, s] @ qd_f_[f]
 
+    def _stack0(xs):
+        """jnp.stack that returns a zero-length array for a gated-off group."""
+        return jnp.stack(xs) if xs else jnp.zeros(0)
+
     a_vn0 = jax.vmap(lambda r: cube_point_vel(v, w, r) @ ground_n)(a_r)
     b_vn0 = jax.vmap(lambda r, n: cube_point_vel(v, w, r) @ n)(b_r, b_n)
     c_vn0 = jnp.stack([
         (cube_point_vel(v, w, c_r[f]) - tip_vel(qd_f, f)) @ c_n[f] for f in range(3)
     ])
-    d_vn0 = jnp.stack([tip_vel(qd_f, f)[2] for f in range(3)])
-    e_vn0 = jnp.stack([tip_vel(qd_f, f) @ e_n[f] for f in range(3)])
+    d_vn0 = _stack0([tip_vel(qd_f, f)[2] for f in range(_ND)])
+    e_vn0 = _stack0([tip_vel(qd_f, f) @ e_n[f] for f in range(_NE)])
     f_vn0 = [
         [
             (cube_point_vel(v, w, f_r[f][s]) - samp_vel(qd_f, f, s)) @ f_n[f][s]
@@ -328,17 +352,17 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
     # J M^-1 J^T can hit the kinematic singularity (fully extended finger at
     # the arena wall: ~1e-9..0) and explode the PGS impulse — floor at
     # cfg.w_min (max(w, w_min) keeps non-singular dynamics bit-identical)
-    d_wn = jnp.stack([jnp.maximum(pre.a_tip[f][2, 2], cfg.w_min) for f in range(3)])
-    d_wt1 = jnp.stack([jnp.maximum(pre.a_tip[f][0, 0], cfg.w_min) for f in range(3)])
-    d_wt2 = jnp.stack([jnp.maximum(pre.a_tip[f][1, 1], cfg.w_min) for f in range(3)])
-    e_wn = jnp.stack([
-        jnp.maximum(e_n[f] @ pre.a_tip[f] @ e_n[f], cfg.w_min) for f in range(3)
+    d_wn = _stack0([jnp.maximum(pre.a_tip[f][2, 2], cfg.w_min) for f in range(_ND)])
+    d_wt1 = _stack0([jnp.maximum(pre.a_tip[f][0, 0], cfg.w_min) for f in range(_ND)])
+    d_wt2 = _stack0([jnp.maximum(pre.a_tip[f][1, 1], cfg.w_min) for f in range(_ND)])
+    e_wn = _stack0([
+        jnp.maximum(e_n[f] @ pre.a_tip[f] @ e_n[f], cfg.w_min) for f in range(_NE)
     ])
-    e_wt1 = jnp.stack([
-        jnp.maximum(e_t[0][f] @ pre.a_tip[f] @ e_t[0][f], cfg.w_min) for f in range(3)
+    e_wt1 = _stack0([
+        jnp.maximum(e_t[0][f] @ pre.a_tip[f] @ e_t[0][f], cfg.w_min) for f in range(_NE)
     ])
-    e_wt2 = jnp.stack([
-        jnp.maximum(e_t[1][f] @ pre.a_tip[f] @ e_t[1][f], cfg.w_min) for f in range(3)
+    e_wt2 = _stack0([
+        jnp.maximum(e_t[1][f] @ pre.a_tip[f] @ e_t[1][f], cfg.w_min) for f in range(_NE)
     ])
 
     def f_w(f, s, d):
@@ -356,9 +380,10 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
     def k_spin(n):
         return jnp.maximum(n @ body.inv_inertia_w @ n, 1e-6)
 
-    a_ws = k_spin(ground_n)
-    b_ws = jax.vmap(k_spin)(b_n)
-    c_ws = jnp.stack([k_spin(c_n[f]) for f in range(3)])
+    torsion = cfg.enable_torsion
+    a_ws = k_spin(ground_n) if torsion else None
+    b_ws = jax.vmap(k_spin)(b_n) if torsion else None
+    c_ws = jnp.stack([k_spin(c_n[f]) for f in range(3)]) if torsion else None
     mu_tor_r = params.mu_torsion * params.torsion_patch_radius
 
     # ---- TGS mode (solver_type 1): per-iteration mini-steps ---------------
@@ -380,13 +405,13 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
         c_rest = jax.vmap(lambda d, u: rest_of(d, u, params.restitution_tip_cube))(c_depth, c_vn0)
         d_rest = jax.vmap(lambda d, u: rest_of(d, u, params.restitution_tip_ground))(d_depth, d_vn0)
         e_rest = jax.vmap(lambda d, u: rest_of(d, u, params.restitution_tip_wall))(e_depth, e_vn0)
-        f_rest = jnp.stack([
+        f_rest = (jnp.stack([
             jnp.stack([
                 rest_of(f_depth[f][s], f_vn0[f][s], params.restitution_link_cube)
                 for s in range(_S)
             ])
             for f in range(3)
-        ])
+        ]) if _S else jnp.zeros((3, 0)))
 
     def tgs_target(d, rest, it, bias_cap=None):
         pen = cfg.tgs_bias / h_it * jnp.maximum(d - cfg.contact_slop, 0.0)
@@ -433,14 +458,15 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
             v = v + body.inv_mass * p
             w = w + body.inv_inertia_w @ jnp.cross(r, p)
             # torsional friction about the normal
-            d_lam, sl = solve_contact_friction(
-                w @ ground_n, a_ws, a_lt[i], mu_tor_r * nl
-            )
-            a_lt = a_lt.at[i].set(sl)
-            w = w + body.inv_inertia_w @ (d_lam * ground_n)
+            if torsion:
+                d_lam, sl = solve_contact_friction(
+                    w @ ground_n, a_ws, a_lt[i], mu_tor_r * nl
+                )
+                a_lt = a_lt.at[i].set(sl)
+                w = w + body.inv_inertia_w @ (d_lam * ground_n)
 
         # -- B: cube corners vs wall
-        for i in range(_P):
+        for i in range(_PB):
             r, n = b_r[i], b_n[i]
             u = v + jnp.cross(w, r)
             tgt = tgs_target(b_d[i], b_rest[i], it) if tgs else b_target[i]
@@ -466,9 +492,12 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
                 p = d_lam * t_vec
                 v = v + body.inv_mass * p
                 w = w + body.inv_inertia_w @ jnp.cross(r, p)
-            d_lam, sl = solve_contact_friction(w @ n, b_ws[i], b_lt[i], mu_tor_r * nl)
-            b_lt = b_lt.at[i].set(sl)
-            w = w + body.inv_inertia_w @ (d_lam * n)
+            if torsion:
+                d_lam, sl = solve_contact_friction(
+                    w @ n, b_ws[i], b_lt[i], mu_tor_r * nl
+                )
+                b_lt = b_lt.at[i].set(sl)
+                w = w + body.inv_inertia_w @ (d_lam * n)
 
         # -- C: tips vs cube (impulse +P on cube, -P on finger f)
         for f in range(3):
@@ -500,9 +529,12 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
                 w = w + body.inv_inertia_w @ jnp.cross(r, p)
                 qd_f = qd_f.at[f].add(-(pre.minv_jt[f] @ p))
             # cube-side spin resistance (tip treated as non-spinning about n)
-            d_lam, sl = solve_contact_friction(w @ n, c_ws[f], c_lt[f], mu_tor_r * nl)
-            c_lt = c_lt.at[f].set(sl)
-            w = w + body.inv_inertia_w @ (d_lam * n)
+            if torsion:
+                d_lam, sl = solve_contact_friction(
+                    w @ n, c_ws[f], c_lt[f], mu_tor_r * nl
+                )
+                c_lt = c_lt.at[f].set(sl)
+                w = w + body.inv_inertia_w @ (d_lam * n)
 
         # -- F: lower-link shaft samples vs cube (impulse +P cube, -P finger)
         for f in range(3):
@@ -542,7 +574,7 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
         ex = jnp.array([1.0, 0.0, 0.0])
         ey = jnp.array([0.0, 1.0, 0.0])
         ez = jnp.array([0.0, 0.0, 1.0])
-        for f in range(3):
+        for f in range(_ND):
             u = pre.jac_w[f] @ qd_f[f]
             tgt = (tgs_target(d_d[f], d_rest[f], it, bias_cap=cfg.finger_bias_cap)
                    if tgs else d_target[f])
@@ -562,7 +594,7 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
             qd_f = qd_f.at[f].add(pre.minv_jt[f] @ (d_lam * ey))
 
         # -- E: tips vs arena wall (impulse +P on finger, wall static)
-        for f in range(3):
+        for f in range(_NE):
             n = e_n[f]
             u = pre.jac_w[f] @ qd_f[f]
             tgt = (tgs_target(e_d[f], e_rest[f], it, bias_cap=cfg.finger_bias_cap)
@@ -602,15 +634,19 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
         return v, w, qd_f, new_lam
 
     zeros_p = jnp.zeros(_P)
+    zeros_pb = jnp.zeros(_PB)
     zeros3 = jnp.zeros(3)
+    zeros_d = jnp.zeros(_ND)
+    zeros_e = jnp.zeros(_NE)
     zeros3s = jnp.zeros((3, _S))
-    lam0 = (zeros_p, zeros_p, zeros_p, zeros_p, zeros_p, zeros_p, zeros_p, zeros_p,
-            zeros3, zeros3, zeros3, zeros3, zeros3, zeros3, zeros3,
-            zeros3, zeros3, zeros3, zeros3s, zeros3s, zeros3s)
+    lam0 = (zeros_p, zeros_p, zeros_p, zeros_p,
+            zeros_pb, zeros_pb, zeros_pb, zeros_pb,
+            zeros3, zeros3, zeros3, zeros3, zeros_d, zeros_d, zeros_d,
+            zeros_e, zeros_e, zeros_e, zeros3s, zeros3s, zeros3s)
     if tgs:
-        f_dep0 = jnp.stack([
+        f_dep0 = (jnp.stack([
             jnp.stack([f_depth[f][s] for s in range(_S)]) for f in range(3)
-        ])
+        ]) if _S else jnp.zeros((3, 0)))
         dep0 = (a_depth, b_depth, c_depth, d_depth, e_depth, f_dep0)
         poses0 = (state.cube_pos, state.cube_quat, q_f)
         v, w, qd_f, lam, _, tgs_poses = jax.lax.fori_loop(
@@ -635,13 +671,16 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
     # excluded (the reference force sensors sit on the fingertip bodies,
     # trifinger_env.py:827-832)
     imp_c = -(c_ln[:, None] * c_n + c_l1[:, None] * c_t[0] + c_l2[:, None] * c_t[1])
-    imp_d = d_ln[:, None] * ez + d_l1[:, None] * ex + d_l2[:, None] * ey
-    imp_e = e_ln[:, None] * e_n + e_l1[:, None] * e_t[0] + e_l2[:, None] * e_t[1]
+    imp_d = (d_ln[:, None] * ez + d_l1[:, None] * ex + d_l2[:, None] * ey
+             if _ND else jnp.zeros((3, 3)))
+    imp_e = (e_ln[:, None] * e_n + e_l1[:, None] * e_t[0] + e_l2[:, None] * e_t[1]
+             if _NE else jnp.zeros((3, 3)))
     tip_impulse = imp_c + imp_d + imp_e  # (3 fingers, 3)
     # torque impulse about the tip frame origin
     arm_c = c_point - pre.tip_pos_w  # (3, 3)
     arm_d = (tip_centers - params.tip_radius * ez) - pre.tip_pos_w
-    arm_e = (tip_centers - params.tip_radius * e_n) - pre.tip_pos_w
+    arm_e = ((tip_centers - params.tip_radius * e_n) - pre.tip_pos_w
+             if _NE else jnp.zeros((3, 3)))
     tip_torque_impulse = (
         jnp.cross(arm_c, imp_c) + jnp.cross(arm_d, imp_d) + jnp.cross(arm_e, imp_e)
     )

@@ -86,7 +86,7 @@ class _FingerData(NamedTuple):
 
 
 def _finger_dynamics(f: int, q9, qd9, tau9, gravity, link_mass_scale,
-                     joint_damping, armature, h):
+                     joint_damping, armature, h, with_samples: bool = True):
     """FK + mass matrix + RNEA bias + free-velocity update for finger f.
 
     Returns (qd_new (3-tuple), _FingerData with contact-solve quantities).
@@ -226,11 +226,13 @@ def _finger_dynamics(f: int, q9, qd9, tau9, gravity, link_mass_scale,
     tip_w, jw_cols, minv_jt_cols, a_tip = point_contact_data(tip)
 
     # lower-link shaft samples (new contact pairs; see models.trifinger
-    # LOWER_LINK_SAMPLES)
+    # LOWER_LINK_SAMPLES). Skipped entirely when the link-cube contact
+    # group is trace-time gated off (cfg.enable_link_cube).
     samples = []
-    for frac, _radius in tf_model.LOWER_LINK_SAMPLES:
-        p_s = v3_add(joints[2], v3_scale(v3_sub(tip, joints[2]), frac))
-        samples.append(point_contact_data(p_s))
+    if with_samples:
+        for frac, _radius in tf_model.LOWER_LINK_SAMPLES:
+            p_s = v3_add(joints[2], v3_scale(v3_sub(tip, joints[2]), frac))
+            samples.append(point_contact_data(p_s))
 
     return qd_new, _FingerData(
         qd_new, tip_w, jw_cols, minv_jt_cols, a_tip, tuple(samples)
@@ -319,7 +321,8 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
     qd_f = []
     for f in range(3):
         qd_new, fd = _finger_dynamics(
-            f, state.q, state.qd, tau, g, lms, jd, arm, h
+            f, state.q, state.qd, tau, g, lms, jd, arm, h,
+            with_samples=cfg.enable_link_cube,
         )
         fingers.append(fd)
         qd_f.append(qd_new)
@@ -367,32 +370,37 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
     radius_o = half[0]
     if sphere_obj:
         a_points = [(pos[0], pos[1], pos[2] - radius_o)]
-        rho_c = jnp.sqrt(jnp.maximum(pos[0] ** 2 + pos[1] ** 2, 1e-18))
-        inv_rho_c = 1.0 / jnp.maximum(rho_c, 1e-9)
-        out_x, out_y = pos[0] * inv_rho_c, pos[1] * inv_rho_c
-        b_points = [(pos[0] + out_x * radius_o, pos[1] + out_y * radius_o, pos[2])]
-        b_geoms = [  # (depth, n)
-            (rho_c + radius_o - params.wall_radius,
-             (-out_x, -out_y, jnp.zeros_like(rho_c)))
-        ]
+        b_points, b_geoms = [], []
+        if cfg.enable_cube_wall:
+            rho_c = jnp.sqrt(jnp.maximum(pos[0] ** 2 + pos[1] ** 2, 1e-18))
+            inv_rho_c = 1.0 / jnp.maximum(rho_c, 1e-9)
+            out_x, out_y = pos[0] * inv_rho_c, pos[1] * inv_rho_c
+            b_points = [
+                (pos[0] + out_x * radius_o, pos[1] + out_y * radius_o, pos[2])
+            ]
+            b_geoms = [  # (depth, n)
+                (rho_c + radius_o - params.wall_radius,
+                 (-out_x, -out_y, jnp.zeros_like(rho_c)))
+            ]
     else:
         corners = []
         for sx, sy, sz in _CORNER_SIGNS:
             local = (sx * half[0], sy * half[1], sz * half[2])
             corners.append(v3_add(pos, m3_matvec(rot, local)))
         a_points = corners
-        b_points = corners
-        b_geoms = []
-        for ci in range(8):
-            rho = jnp.sqrt(
-                jnp.maximum(corners[ci][0] ** 2 + corners[ci][1] ** 2, 1e-18)
-            )
-            inv_rho = 1.0 / rho
-            b_geoms.append((
-                rho - params.wall_radius,
-                (-corners[ci][0] * inv_rho, -corners[ci][1] * inv_rho,
-                 jnp.zeros_like(rho)),
-            ))
+        b_points, b_geoms = [], []
+        if cfg.enable_cube_wall:
+            b_points = corners
+            for ci in range(8):
+                rho = jnp.sqrt(
+                    jnp.maximum(corners[ci][0] ** 2 + corners[ci][1] ** 2, 1e-18)
+                )
+                inv_rho = 1.0 / rho
+                b_geoms.append((
+                    rho - params.wall_radius,
+                    (-corners[ci][0] * inv_rho, -corners[ci][1] * inv_rho,
+                     jnp.zeros_like(rho)),
+                ))
 
     ez = (0.0, 0.0, 1.0)
 
@@ -524,7 +532,7 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
     # ---- group F: lower-link shaft samples vs cube ------------------------
     f_contacts = []  # flat list, index f * S + s
     _S = len(tf_model.LOWER_LINK_SAMPLES)
-    for f in range(3):
+    for f in range(3 if cfg.enable_link_cube else 0):
         for s_idx, (_frac, radius) in enumerate(tf_model.LOWER_LINK_SAMPLES):
             pos_w, cols, minv_cols, a_pt = fingers[f].samples[s_idx]
             r, n_w, t1, t2, point, sdist = sphere_vs_cube(pos_w)
@@ -549,7 +557,7 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
 
     # ---- group D: tip spheres vs ground -----------------------------------
     d_contacts = []
-    for f in range(3):
+    for f in range(3 if cfg.enable_tip_ground else 0):
         center = v3_add(fingers[f].tip_w, (0.0, 0.0, _TIP_OFF_Z))
         depth = params.tip_radius - center[2]
         u = _tip_point_vel(fingers[f], qd_f[f])
@@ -571,7 +579,7 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
 
     # ---- group E: tip spheres vs arena wall -------------------------------
     e_contacts = []
-    for f in range(3):
+    for f in range(3 if cfg.enable_tip_wall else 0):
         center = v3_add(fingers[f].tip_w, (0.0, 0.0, _TIP_OFF_Z))
         rho = jnp.sqrt(jnp.maximum(center[0] ** 2 + center[1] ** 2, 1e-18))
         depth = rho + params.tip_radius - params.wall_radius
@@ -604,9 +612,10 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
     def k_spin(n):
         return jnp.maximum(v3_dot(n, m3_matvec(inv_i_w, n)), 1e-6)
 
+    torsion = cfg.enable_torsion
     a_ws = inv_i_w[2][2]
-    b_ws = [k_spin(ct["n"]) for ct in b_contacts]
-    c_ws = [k_spin(ct["n"]) for ct in c_contacts]
+    b_ws = [k_spin(ct["n"]) for ct in b_contacts] if torsion else []
+    c_ws = [k_spin(ct["n"]) for ct in c_contacts] if torsion else []
     mu_tor_r = params.mu_torsion * params.torsion_patch_radius
 
     # ---- PGS sweeps --------------------------------------------------------
@@ -667,8 +676,11 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
             u = cube_point_vel(v, w, r)
             d_lam, a_l2[i] = friction_step(-u[0], ct["wt2"], a_l2[i], mu_l)
             v, w = cube_apply(v, w, r, (-d_lam, z, z))
-            d_lam, a_lt[i] = friction_step(w[2], a_ws, a_lt[i], mu_tor_r * a_ln[i])
-            w = spin_apply(w, (z + 0.0, z + 0.0, z + 1.0), d_lam)
+            if torsion:
+                d_lam, a_lt[i] = friction_step(
+                    w[2], a_ws, a_lt[i], mu_tor_r * a_ln[i]
+                )
+                w = spin_apply(w, (z + 0.0, z + 0.0, z + 1.0), d_lam)
 
         for i, ct in enumerate(b_contacts):
             r, n = ct["r"], ct["n"]
@@ -685,10 +697,11 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
             u = cube_point_vel(v, w, r)
             d_lam, b_l2[i] = friction_step(v3_dot(u, ct["t2"]), ct["wt2"], b_l2[i], mu_l)
             v, w = cube_apply(v, w, r, v3_scale(ct["t2"], d_lam))
-            d_lam, b_lt[i] = friction_step(
-                v3_dot(w, n), b_ws[i], b_lt[i], mu_tor_r * b_ln[i]
-            )
-            w = spin_apply(w, n, d_lam)
+            if torsion:
+                d_lam, b_lt[i] = friction_step(
+                    v3_dot(w, n), b_ws[i], b_lt[i], mu_tor_r * b_ln[i]
+                )
+                w = spin_apply(w, n, d_lam)
 
         for f, ct in enumerate(c_contacts):
             r, n = ct["r"], ct["n"]
@@ -718,10 +731,11 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
                 v, w = cube_apply(v, w, r, p)
                 qds[f] = _apply_tip_impulse(fingers[f], qds[f], p, -1.0)
             # cube-side spin resistance (tip treated as non-spinning about n)
-            d_lam, c_lt[f] = friction_step(
-                v3_dot(w, n), c_ws[f], c_lt[f], mu_tor_r * c_ln[f]
-            )
-            w = spin_apply(w, n, d_lam)
+            if torsion:
+                d_lam, c_lt[f] = friction_step(
+                    v3_dot(w, n), c_ws[f], c_lt[f], mu_tor_r * c_ln[f]
+                )
+                w = spin_apply(w, n, d_lam)
 
         for idx, ct in enumerate(f_contacts):
             f = idx // _S
@@ -814,12 +828,15 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
                     (p_pos, p_quat, p_q))
         return v, w, qds[0], qds[1], qds[2], lam
 
-    z8 = tuple(z for _ in range(len(a_contacts)))
-    z3 = tuple(z for _ in range(3))
-    z3s = tuple(z for _ in range(3 * _S))
-    lam0 = (z8, z8, z8, z8, z8, z8, z8, z8,
-            z3, z3, z3, z3, z3, z3, z3,
-            z3, z3, z3, z3s, z3s, z3s)
+    za = tuple(z for _ in range(len(a_contacts)))
+    zb = tuple(z for _ in range(len(b_contacts)))
+    zc = tuple(z for _ in range(len(c_contacts)))
+    zd = tuple(z for _ in range(len(d_contacts)))
+    ze = tuple(z for _ in range(len(e_contacts)))
+    zf = tuple(z for _ in range(len(f_contacts)))
+    lam0 = (za, za, za, za, zb, zb, zb, zb,
+            zc, zc, zc, zc, zd, zd, zd,
+            ze, ze, ze, zf, zf, zf)
     if tgs:
         dep0 = (tuple(ct["depth"] + z for ct in a_contacts),
                 tuple(ct["depth"] + z for ct in b_contacts),
@@ -843,6 +860,7 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
      e_ln, e_l1, e_l2, _, _, _) = lam
     tip_imp = []
     tip_timp = []
+    zv = (z, z, z)
     for f in range(3):
         ct = c_contacts[f]
         imp_c = v3_scale(
@@ -852,25 +870,32 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
             ),
             -1.0,
         )
-        imp_d = (d_l1[f], d_l2[f], d_ln[f])
-        et = e_contacts[f]
-        imp_e = v3_add(
-            v3_add(v3_scale(et["n"], e_ln[f]), v3_scale(et["t1"], e_l1[f])),
-            v3_scale(et["t2"], e_l2[f]),
-        )
-        imp = v3_add(v3_add(imp_c, imp_d), imp_e)
         center = v3_add(fingers[f].tip_w, (0.0, 0.0, _TIP_OFF_Z))
         arm_c = v3_sub(ct["point"], fingers[f].tip_w)
-        arm_d = v3_sub(
-            (center[0], center[1], center[2] - params.tip_radius), fingers[f].tip_w
-        )
-        arm_e = v3_sub(
-            v3_sub(center, v3_scale(et["n"], params.tip_radius)), fingers[f].tip_w
-        )
-        timp = v3_add(
-            v3_add(v3_cross(arm_c, imp_c), v3_cross(arm_d, imp_d)),
-            v3_cross(arm_e, imp_e),
-        )
+        imp = imp_c
+        timp = v3_cross(arm_c, imp_c)
+        if cfg.enable_tip_ground:
+            imp_d = (d_l1[f], d_l2[f], d_ln[f])
+            arm_d = v3_sub(
+                (center[0], center[1], center[2] - params.tip_radius),
+                fingers[f].tip_w,
+            )
+            imp = v3_add(imp, imp_d)
+            timp = v3_add(timp, v3_cross(arm_d, imp_d))
+        if cfg.enable_tip_wall:
+            et = e_contacts[f]
+            imp_e = v3_add(
+                v3_add(v3_scale(et["n"], e_ln[f]), v3_scale(et["t1"], e_l1[f])),
+                v3_scale(et["t2"], e_l2[f]),
+            )
+            arm_e = v3_sub(
+                v3_sub(center, v3_scale(et["n"], params.tip_radius)),
+                fingers[f].tip_w,
+            )
+            imp = v3_add(imp, imp_e)
+            timp = v3_add(timp, v3_cross(arm_e, imp_e))
+        imp = v3_add(imp, zv)
+        timp = v3_add(timp, zv)
         tip_imp.append(imp)
         tip_timp.append(timp)
 

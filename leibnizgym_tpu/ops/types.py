@@ -238,3 +238,16 @@ class SolverConfig:
         pytree_node=False,
         default=tuple(np.tile(tf_model.JOINT_POS_HIGH, 3).tolist()),
     )
+    # Trace-time contact-group gates. A disabled group is not even BUILT —
+    # zero collision queries, zero PGS slots, zero cost — so a task config
+    # that cannot activate a pair (e.g. on-table tasks never drive the cube
+    # into the arena wall rim at speed; mu_torsion == 0 makes every torsion
+    # sweep a no-op) can shed its full cost. All default ON: the shipped
+    # fidelity surface is unchanged unless a config opts out via
+    # sim.contact_pairs. Object-vs-ground and tip-vs-object are the task's
+    # essential pairs and are always built.
+    enable_cube_wall: bool = struct.field(pytree_node=False, default=True)
+    enable_tip_ground: bool = struct.field(pytree_node=False, default=True)
+    enable_tip_wall: bool = struct.field(pytree_node=False, default=True)
+    enable_link_cube: bool = struct.field(pytree_node=False, default=True)
+    enable_torsion: bool = struct.field(pytree_node=False, default=True)

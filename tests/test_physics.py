@@ -635,3 +635,136 @@ class TestPallasEngine:
             err = float(jnp.abs(getattr(ref[0], name) - getattr(pal[0], name)).max())
             assert err < 1e-5, f"{name}: {err}"
         assert float(jnp.abs(ref[1] - pal[1]).max()) < 1e-4
+
+
+class TestContactPairGating:
+    """Trace-time contact-group gates (SolverConfig.enable_*): a disabled
+    group is not built at all — zero cost — and disabling groups a scenario
+    cannot activate must not change its trajectory."""
+
+    _GATES_OFF = dict(
+        enable_cube_wall=False, enable_tip_ground=False,
+        enable_tip_wall=False, enable_link_cube=False, enable_torsion=False,
+    )
+
+    def _trajectories(self, cfg_a, cfg_b, steps=10):
+        from leibnizgym_tpu.ops.engine_v2 import physics_step_v2
+
+        params = SceneParams.default()
+        # resting non-spinning cube at center, fingers held at the default
+        # raised pose by gravity-compensation torque: the tips stay well
+        # above ground/cube and far from the wall -> every gated group
+        # stays inactive
+        q_def = jnp.asarray(tf_model.JOINT_POS_DEFAULT, dtype=jnp.float32)
+        tau_g = jax.grad(lambda qq: D.potential_energy(qq, GRAV))(q_def)
+        state0 = PhysicsState.default(()).replace(
+            q=jnp.tile(q_def, 3),
+            cube_pos=jnp.array([0.0, 0.0, 0.0325]),
+        )
+        tau = jnp.tile(tau_g, 3)
+        outs = []
+        for cfg in (cfg_a, cfg_b):
+            f = jax.jit(lambda s, t, p, c=cfg: physics_step_v2(s, t, p, c, 0.02))
+            s = state0
+            for _ in range(steps):
+                s, _ = f(s, tau, params)
+            outs.append(s)
+        return outs
+
+    def test_inactive_groups_do_not_change_trajectory(self):
+        """Geometric gates are exactly trajectory-neutral when their pair
+        cannot occur. Torsion is excluded from the exact claim: a resting
+        contact's torsion sweep actively damps numerical spin noise, so
+        turning it off perturbs at float-noise scale (checked loosely)."""
+        full = SolverConfig(substeps=2, solver_iterations=4)
+        geo_off = dict(self._GATES_OFF)
+        geo_off.pop("enable_torsion")
+        gated = SolverConfig(substeps=2, solver_iterations=4, **geo_off)
+        s_full, s_gated = self._trajectories(full, gated)
+        for name in ["q", "qd", "cube_pos", "cube_quat", "cube_linvel",
+                     "cube_angvel"]:
+            err = float(jnp.abs(getattr(s_full, name) - getattr(s_gated, name)).max())
+            assert err == 0.0, f"{name}: {err}"
+        all_off = SolverConfig(substeps=2, solver_iterations=4,
+                               **self._GATES_OFF)
+        s_full, s_all = self._trajectories(full, all_off)
+        for name in ["q", "qd", "cube_pos", "cube_quat", "cube_linvel",
+                     "cube_angvel"]:
+            err = float(jnp.abs(getattr(s_full, name) - getattr(s_all, name)).max())
+            assert err < 1e-3, f"{name}: {err}"
+
+    def test_wall_gate_really_removes_the_wall(self):
+        """With cube_wall off the boundary does not exist: a fast cube exits
+        the arena (proof the group is absent, not merely zero-force)."""
+        from leibnizgym_tpu.ops.engine_v2 import physics_step_v2
+
+        params = SceneParams.default()
+        state = PhysicsState.default(()).replace(
+            cube_pos=jnp.array([0.15, 0.0, 0.0325]),
+            cube_linvel=jnp.array([1.5, 0.0, 0.0]),
+        )
+        tau = jnp.zeros(9)
+        for gate, should_escape in ((False, True), (True, False)):
+            cfg = SolverConfig(substeps=2, solver_iterations=4,
+                               enable_cube_wall=not should_escape)
+            if should_escape:
+                cfg = SolverConfig(substeps=2, solver_iterations=4,
+                                   enable_cube_wall=False)
+            f = jax.jit(lambda s, t, p, c=cfg: physics_step_v2(s, t, p, c, 0.02))
+            s = state
+            for _ in range(25):
+                s, _ = f(s, tau, params)
+            rho = float(jnp.linalg.norm(s.cube_pos[:2]))
+            if should_escape:
+                assert rho > float(params.wall_radius) + 0.05
+            else:
+                assert rho <= float(params.wall_radius) + 0.01
+
+    def test_oracle_engine_honors_gates(self):
+        full = SolverConfig(substeps=2, solver_iterations=4)
+        gated = SolverConfig(substeps=2, solver_iterations=4,
+                             **self._GATES_OFF)
+        from leibnizgym_tpu.ops.engine_v2 import physics_step_v2
+
+        params = SceneParams.default()
+        state = PhysicsState.default(()).replace(
+            cube_pos=jnp.array([0.15, 0.0, 0.0325]),
+            cube_linvel=jnp.array([1.5, 0.0, 0.0]),
+        )
+        tau = jnp.zeros(9)
+        for stepper in (physics_step, physics_step_v2):
+            f = jax.jit(lambda s, t, p: stepper(s, t, p, gated, 0.02))
+            s = state
+            for _ in range(25):
+                s, _ = f(s, tau, params)
+            assert float(jnp.linalg.norm(s.cube_pos[:2])) > float(
+                params.wall_radius
+            ) + 0.05, stepper.__name__
+
+    def test_env_config_plumbs_gates(self):
+        from leibnizgym_tpu.config.presets import GYM_PRESETS
+        from leibnizgym_tpu.envs.trifinger.config import (
+            SIM_DEFAULT_CONFIG_DICT,
+            TRIFINGER_DEFAULT_CONFIG_DICT,
+        )
+        from leibnizgym_tpu.envs.trifinger.env import build_static
+        from leibnizgym_tpu.utils.helpers import merged_dict
+        import copy
+
+        base = merged_dict(
+            dict(SIM_DEFAULT_CONFIG_DICT), TRIFINGER_DEFAULT_CONFIG_DICT
+        )
+        cfg = merged_dict(base, copy.deepcopy(GYM_PRESETS["trifinger_difficulty_1"]))
+        cfg["num_instances"] = 4
+        st = build_static(cfg)
+        assert st.solver.enable_cube_wall and st.solver.enable_torsion
+
+        cfg["sim"]["contact_pairs"] = {"cube_wall": False, "torsion": False}
+        st = build_static(cfg)
+        assert not st.solver.enable_cube_wall
+        assert not st.solver.enable_torsion
+        assert st.solver.enable_tip_wall  # untouched gates stay on
+
+        cfg["sim"]["contact_pairs"] = {"bogus": False}
+        with pytest.raises(ValueError, match="contact_pairs"):
+            build_static(cfg)
