@@ -195,11 +195,16 @@ class Runner:
             self._ckptr = ocp.StandardCheckpointer()
         return self._ckptr
 
-    def save(self, name: str, ts=None, wait: bool = False):
+    def save(self, name: str, ts=None, wait: bool = True):
         """Checkpoint ``ts`` (default: the CURRENT train state). The
         pipelined train loop passes the state of the epoch whose metrics
         triggered the save — 'best' must hold the policy that actually
-        achieved the best reward, not one K epochs ahead of it."""
+        achieved the best reward, not one K epochs ahead of it.
+
+        ``wait`` defaults to True so the returned path is immediately
+        readable by any consumer (another Runner, a resume scan, a test);
+        only the train loop's own throttled hot-path saves pass
+        ``wait=False`` to overlap the ~1 s commit with training."""
         path = os.path.abspath(os.path.join(self.nn_dir, name))
         ckptr = self._checkpointer()
         ckptr.save(path, self._ckpt_payload(ts), force=True)
@@ -359,7 +364,7 @@ class Runner:
                     ):
                         self._best_cur_score = score
                         self._last_cur_save = now
-                        self.save("best_curriculum", ts_epoch)
+                        self.save("best_curriculum", ts_epoch, wait=False)
             fps = cfg.horizon * self.static.num_envs / dt
             if self.writer is not None:
                 for k, v in metrics.items():
@@ -382,9 +387,9 @@ class Runner:
                 and mean_rew > self._best_reward
             ):
                 self._best_reward = mean_rew
-                self.save("best", ts_epoch)
+                self.save("best", ts_epoch, wait=False)
             if cfg.save_frequency and epoch % cfg.save_frequency == 0:
-                self.save("last", ts_epoch)
+                self.save("last", ts_epoch, wait=False)
             if (self.game_rewards.current_size > 0
                     and self.game_rewards.get_mean() >= cfg.score_to_win):
                 print_notify(
@@ -418,29 +423,35 @@ class Runner:
                 return True
             return False
 
-        for epoch in range(1, epochs + 1):
-            if cfg.nan_telemetry:
-                # keep the pre-epoch state so a nan halt can dump the exact
-                # reproducer (replayed by scripts/nan_replay.py)
-                prev_ts = self.ts
-            self.ts, metrics_dev = self._train_iter(
-                cfg, self.static, self.env_params, self.ts
-            )
-            pending.append((epoch, metrics_dev, self.ts))
-            if len(pending) >= depth:
+        try:
+            for epoch in range(1, epochs + 1):
+                if cfg.nan_telemetry:
+                    # keep the pre-epoch state so a nan halt can dump the exact
+                    # reproducer (replayed by scripts/nan_replay.py)
+                    prev_ts = self.ts
+                self.ts, metrics_dev = self._train_iter(
+                    cfg, self.static, self.env_params, self.ts
+                )
+                pending.append((epoch, metrics_dev, self.ts))
+                if len(pending) >= depth:
+                    e, m, ts_e = pending.popleft()
+                    now = time.time()
+                    # steady-state wall time per epoch (the fetch of an epoch
+                    # `depth` back only blocks if the device is actually behind)
+                    dt, last_t = now - last_t, now
+                    stop = process(e, jax.device_get(m), dt, ts_e)
+                    if stop:
+                        break
+            while pending and not stop:
                 e, m, ts_e = pending.popleft()
                 now = time.time()
-                # steady-state wall time per epoch (the fetch of an epoch
-                # `depth` back only blocks if the device is actually behind)
                 dt, last_t = now - last_t, now
                 stop = process(e, jax.device_get(m), dt, ts_e)
-                if stop:
-                    break
-        while pending and not stop:
-            e, m, ts_e = pending.popleft()
-            now = time.time()
-            dt, last_t = now - last_t, now
-            stop = process(e, jax.device_get(m), dt, ts_e)
+        finally:
+            # an exception/KeyboardInterrupt must not leave the last async
+            # 'best'/'last' commit to a background thread a supervisor
+            # SIGTERM can cut short after the old directory was removed
+            self.flush_saves()
         best_reward = self._best_reward
         self.save("final", wait=True)
         total = time.time() - t_start

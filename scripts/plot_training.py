@@ -113,7 +113,9 @@ def main() -> int:
     out = args.out or os.path.join(
         os.path.dirname(__file__), "..", "images",
         os.path.basename(os.path.normpath(args.logdir)) + "_train.png")
-    os.makedirs(os.path.dirname(out), exist_ok=True)
+    out_dir = os.path.dirname(out)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
     fig.tight_layout()
     fig.savefig(out, dpi=130, facecolor=SURFACE)
     print(f"wrote {out} ({len(panels)} panels from {event_file})")
