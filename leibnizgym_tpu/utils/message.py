@@ -48,15 +48,24 @@ def print_error(*args):
     _log("ERROR", "red", *args)
 
 
-def print_dict(val, nesting: int = -4, start: bool = True):
-    """Recursively print a nested dictionary (reference message.py:51-62)."""
-    if isinstance(val, dict):
-        if not start:
-            print("")
-        nesting += 4
-        for k in val:
-            print(nesting * " ", end="")
-            print(k, end=": ")
-            print_dict(val[k], nesting, start=False)
-    else:
+def _dict_lines(val, indent: int):
+    """Yield 'key: value' lines for a nested mapping, children indented 4 deeper."""
+    for key, child in val.items():
+        if isinstance(child, dict):
+            yield f"{' ' * indent}{key}: "
+            yield from _dict_lines(child, indent + 4)
+        else:
+            yield f"{' ' * indent}{key}: {child}"
+
+
+def print_dict(val, nesting: int = 0, **_compat):
+    """Pretty-print a nested config mapping, one `key: value` per line.
+
+    Capability parity with the reference's nested-config printer
+    (/root/reference/leibnizgym/utils/message.py:51-62); `nesting` is the
+    starting indent in spaces. Non-dict input is printed as-is.
+    """
+    if not isinstance(val, dict):
         print(val)
+        return
+    print("\n".join(_dict_lines(val, max(nesting, 0))))
