@@ -1,0 +1,160 @@
+"""Rigorous policy evaluation: per-goal solve statistics.
+
+The training-time scalars (``env/strict_success_frac``,
+``current_*_goal/count``) are instantaneous snapshots: a success immediately
+resamples the goal, so an expert policy that solves one goal every ~25 steps
+shows only ~4% of envs "inside tolerance" at any instant. This script measures
+what actually matters for the reference's difficulty-4 capability claim
+(images/trifinger_vanilla_4.gif): per-goal time-to-success, the fraction of
+goals solved within an episode, and the residual errors of unsolved goals.
+
+Usage:
+  python scripts/eval_policy.py --checkpoint runs/.../nn/best_curriculum \
+      --gym trifinger_difficulty_4_curriculum --num_envs 256 --num_steps 1500
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from leibnizgym_tpu.utils.platform import ensure_requested_platform
+
+ensure_requested_platform()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from leibnizgym_tpu.config.presets import parse_cli, update_cfg
+from leibnizgym_tpu.learning.ppo import make_networks
+from leibnizgym_tpu.learning.runner import Runner
+from leibnizgym_tpu.utils import print_info
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--gym", default="trifinger_difficulty_4_curriculum")
+    p.add_argument("--num_envs", type=int, default=256)
+    p.add_argument("--num_steps", type=int, default=1500)
+    p.add_argument("--level", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--stochastic", action="store_true")
+    p.add_argument("--json_out", default=None)
+    args = p.parse_args(argv)
+
+    cfg = update_cfg(parse_cli([
+        f"gym={args.gym}", f"args.num_envs={args.num_envs}", "args.play=True",
+    ]))
+    runner = Runner(cfg["gym"], cfg["rlg"]["params"], logdir="/tmp/eval_logs",
+                    seed=args.seed, verbose=False)
+    runner.reset()
+    runner.restore(args.checkpoint)
+
+    env = runner.env
+    static = env.static
+    if runner._cur_gated:
+        env.params = env.params.replace(
+            curriculum_level=jnp.asarray(args.level, jnp.float32)
+        )
+        print_info(f"eval: curriculum level {args.level}")
+
+    cfg = runner.ppo_cfg
+    actor_critic, _ = make_networks(cfg, static)
+
+    @jax.jit
+    def policy(params, obs, key):
+        mu, log_std, _ = actor_critic.apply(params, obs)
+        if args.stochastic:
+            mu = mu + jnp.exp(log_std) * jax.random.normal(key, mu.shape)
+        return jnp.clip(mu, -cfg.clip_actions, cfg.clip_actions)
+
+    obs = env.reset()
+    key = jax.random.PRNGKey(args.seed)
+
+    n = static.num_envs
+    goal_age = np.zeros(n, dtype=np.int64)  # steps since this goal was set
+    solve_times = []  # steps-to-success per solved goal
+    censored = []  # goal ages cut off by episode end (goal NOT solved)
+    total_successes = 0
+    pos_dists_unsolved = []
+    ori_dists_unsolved = []
+
+    for step in range(args.num_steps):
+        key, k = jax.random.split(key)
+        obs = jnp.clip(obs, -cfg.clip_obs, cfg.clip_obs)
+        action = policy(runner.ts.ac_params, obs, k)
+        obs, reward, dones, info = env.step(action)
+        st = env._state
+        succ = np.asarray(st.goal_reset_buf)  # success fired this step
+        ep_reset = np.asarray(st.reset_buf)  # episode ends after this step
+        goal_age += 1
+        if succ.any():
+            solve_times.extend(goal_age[succ].tolist())
+            total_successes += int(succ.sum())
+            goal_age[succ] = 0
+        # an episode reset scraps the goal in progress (censored sample)
+        cens = ep_reset & ~succ
+        if cens.any():
+            censored.extend(goal_age[cens].tolist())
+            # residual errors of goals the policy failed to reach
+            obj = np.asarray(st.physics.cube_pos)[cens]
+            goal = np.asarray(st.goal_pose_cm.T)[cens]
+            pos_dists_unsolved.extend(
+                np.linalg.norm(obj - goal[:, :3], axis=-1).tolist()
+            )
+            from leibnizgym_tpu.utils.math import quat_diff_rad
+
+            ori = quat_diff_rad(
+                jnp.asarray(np.asarray(st.physics.cube_quat)[cens]),
+                jnp.asarray(goal[:, 3:7]),
+            )
+            ori_dists_unsolved.extend(np.asarray(ori).tolist())
+            goal_age[cens] = 0
+
+    st = np.asarray(solve_times)
+    env_steps = args.num_steps * n
+    ep_len = static.episode_length or args.num_steps
+    out = {
+        "checkpoint": args.checkpoint,
+        "level": args.level,
+        "num_envs": n,
+        "num_steps": args.num_steps,
+        "goals_attempted": int(len(solve_times) + len(censored)),
+        "goals_solved": int(total_successes),
+        "goal_solve_rate": round(
+            total_successes / max(1, len(solve_times) + len(censored)), 4
+        ),
+        "successes_per_episode": round(total_successes / (env_steps / ep_len), 2),
+        "solve_time_steps": {
+            "mean": round(float(st.mean()), 1) if len(st) else None,
+            "median": float(np.median(st)) if len(st) else None,
+            "p90": float(np.percentile(st, 90)) if len(st) else None,
+            "max": int(st.max()) if len(st) else None,
+        },
+        "censored_goal_age_median": (
+            float(np.median(censored)) if censored else None
+        ),
+        "unsolved_pos_dist_median_m": (
+            round(float(np.median(pos_dists_unsolved)), 4)
+            if pos_dists_unsolved else None
+        ),
+        "unsolved_ori_dist_median_rad": (
+            round(float(np.median(ori_dists_unsolved)), 4)
+            if ori_dists_unsolved else None
+        ),
+    }
+    print(json.dumps(out, indent=2))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(out, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
