@@ -25,32 +25,59 @@ from leibnizgym_tpu.ops.generic_chain import (
 )
 from leibnizgym_tpu.ops.kinematics import finger_fk
 
-_URDF_DIR = (
-    "/root/reference/resources/assets/trifinger/robot_properties_fingers/urdf"
+# the repo's own shipped asset set (clean-room exports from the parsed model
+# tables — scripts/export_assets.py); tests run standalone, no reference
+# mount required
+_URDF_DIR = os.path.join(
+    os.path.dirname(__file__), "..", "resources", "assets", "robots"
 )
-# every ROBOT variant (stage-only URDFs — stage.urdf, *_stage.urdf,
-# high_table_boundary.urdf — carry no fingers and are covered by the arena
-# geometry path; finger_macro.urdf is a xacro macro include, not a robot)
+_STAGE_URDF = os.path.join(
+    os.path.dirname(__file__), "..", "resources", "assets", "stage",
+    "trifinger_stage_tpu.urdf",
+)
+# every ROBOT variant (stage-only URDFs carry no fingers and are covered by
+# the arena geometry path; the reference's finger_macro.urdf is a xacro macro
+# include, not a robot)
 _VARIANTS = [
-    "pro/trifingerpro.urdf",
-    "pro/fingerpro.urdf",
-    "pro/trifingerpro_with_stage.urdf",
-    "edu/trifingeredu.urdf",
-    "edu/fingeredu.urdf",
-    "edu/trifingeredu_with_stage.urdf",
+    "trifingerpro.urdf",
+    "fingerpro.urdf",
+    "trifingerpro_with_stage.urdf",
+    "trifingeredu.urdf",
+    "fingeredu.urdf",
+    "trifingeredu_with_stage.urdf",
     "trifinger.urdf",
     "trifinger_with_stage.urdf",
     "finger.urdf",
     "finger_with_stage.urdf",
 ]
 
+# optional cross-check against the read-only reference mount
+_REF_URDF_DIR = (
+    "/root/reference/resources/assets/trifinger/robot_properties_fingers/urdf"
+)
+_REF_VARIANTS = {
+    "trifingerpro.urdf": "pro/trifingerpro.urdf",
+    "fingerpro.urdf": "pro/fingerpro.urdf",
+    "trifingerpro_with_stage.urdf": "pro/trifingerpro_with_stage.urdf",
+    "trifingeredu.urdf": "edu/trifingeredu.urdf",
+    "fingeredu.urdf": "edu/fingeredu.urdf",
+    "trifingeredu_with_stage.urdf": "edu/trifingeredu_with_stage.urdf",
+    "trifinger.urdf": "trifinger.urdf",
+    "trifinger_with_stage.urdf": "trifinger_with_stage.urdf",
+    "finger.urdf": "finger.urdf",
+    "finger_with_stage.urdf": "finger_with_stage.urdf",
+}
+
 needs_assets = pytest.mark.skipif(
-    not os.path.isdir(_URDF_DIR), reason="reference assets not mounted"
+    not os.path.isdir(_URDF_DIR), reason="shipped assets missing"
+)
+needs_reference = pytest.mark.skipif(
+    not os.path.isdir(_REF_URDF_DIR), reason="reference assets not mounted"
 )
 
 
 def _pro() -> ChainModel:
-    return chain_from_urdf(os.path.join(_URDF_DIR, "pro/trifingerpro.urdf"))
+    return chain_from_urdf(os.path.join(_URDF_DIR, "trifingerpro.urdf"))
 
 
 @needs_assets
@@ -134,14 +161,36 @@ class TestAllVariantsSimulable:
 
     def test_stage_only_urdf_rejected_cleanly(self):
         with pytest.raises(ValueError, match="no 3-DoF finger chains"):
-            chain_from_urdf(os.path.join(_URDF_DIR, "stage.urdf"))
+            chain_from_urdf(_STAGE_URDF)
 
     def test_edu_differs_from_pro(self):
         pro = _pro()
-        edu = chain_from_urdf(os.path.join(_URDF_DIR, "edu/trifingeredu.urdf"))
+        edu = chain_from_urdf(os.path.join(_URDF_DIR, "trifingeredu.urdf"))
         assert not np.allclose(pro.joint_axis, edu.joint_axis)
         assert not np.allclose(pro.mount_pos, edu.mount_pos)
         q = jnp.zeros((1, 9))
         tp = tips_world_chain(q, pro)
         te = tips_world_chain(q, edu)
         assert float(jnp.abs(tp - te).max()) > 1e-3
+
+
+@needs_reference
+class TestShippedMatchesReference:
+    """The committed clean-room exports must rebuild the same chain tables
+    as parsing the reference URDFs directly (only runs with the mount)."""
+
+    @pytest.mark.parametrize("rel", _VARIANTS)
+    def test_tables_equal(self, rel):
+        import dataclasses
+
+        shipped = chain_from_urdf(os.path.join(_URDF_DIR, rel))
+        ref = chain_from_urdf(os.path.join(_REF_URDF_DIR, _REF_VARIANTS[rel]))
+        assert shipped.num_fingers == ref.num_fingers
+        for f in dataclasses.fields(shipped):
+            if f.name in ("name", "num_fingers"):
+                continue
+            np.testing.assert_allclose(
+                np.asarray(getattr(shipped, f.name)),
+                np.asarray(getattr(ref, f.name)),
+                atol=2e-6, err_msg=f"{rel}: {f.name}",
+            )

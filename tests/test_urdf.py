@@ -12,6 +12,8 @@ urdf = pytest.importorskip("leibnizgym_tpu.models.urdf")
 
 _REF_ASSETS = "/root/reference/resources/assets/trifinger"
 _HAVE_REF = os.path.isdir(_REF_ASSETS)
+# the repo's own self-contained asset set (scripts/export_assets.py)
+_ASSETS = os.path.join(os.path.dirname(__file__), "..", "resources", "assets")
 
 
 @pytest.fixture(scope="module")
@@ -58,6 +60,38 @@ def test_parse_synthetic(tmp_path, lib_ok):
     j = m.joints[0]
     assert j.type == "revolute" and j.parent == "base" and j.child == "arm"
     assert np.allclose(j.axis, [0, 1, 0]) and j.lower == -1 and j.upper == 2
+
+
+def test_shipped_trifingerpro_matches_builtin_tables(lib_ok):
+    """The shipped clean-room trifingerpro export carries the same chain
+    tables as the baked constants (no reference mount needed)."""
+    from leibnizgym_tpu.models.chain import chain_from_urdf
+
+    c = chain_from_urdf(os.path.join(_ASSETS, "robots", "trifingerpro.urdf"))
+    assert np.allclose(c.joint_xyz, tf_model.JOINT_OFFSETS, atol=1e-6)
+    assert np.allclose(c.joint_axis, tf_model.JOINT_AXES, atol=1e-6)
+    assert np.allclose(c.tip_xyz, tf_model.TIP_OFFSET, atol=1e-6)
+    assert np.allclose(c.joint_lower, tf_model.URDF_JOINT_LOWER, atol=1e-6)
+    assert np.allclose(c.joint_upper, tf_model.URDF_JOINT_UPPER, atol=1e-6)
+    assert abs(c.link_masses[0] - 0.26) < 1e-6  # upper link
+
+
+def test_shipped_cube_urdf(lib_ok):
+    m = urdf.parse_urdf(
+        os.path.join(_ASSETS, "objects", "cube_multicolor_rrc.urdf")
+    )
+    cube = m.links["object"]
+    assert cube.density == 291.3
+    assert cube.geom_type == 1
+    assert np.allclose(cube.geom_size, [0.065] * 3)
+
+
+def test_shipped_ball_urdf(lib_ok):
+    m = urdf.parse_urdf(os.path.join(_ASSETS, "objects", "ball.urdf"))
+    ball = m.links["object"]
+    assert ball.geom_type == 2
+    assert abs(ball.geom_size[0] - 0.0375) < 1e-9
+    assert abs(ball.mass - 0.25) < 1e-9
 
 
 @pytest.mark.skipif(not _HAVE_REF, reason="reference assets not mounted")
