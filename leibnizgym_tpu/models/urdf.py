@@ -256,6 +256,100 @@ def export_trifinger_urdf(path: str):
     return path
 
 
+def _matrix_to_rpy(r: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> URDF fixed-axis rpy (R = Rz(y) @ Ry(p) @ Rx(r))."""
+    r = np.asarray(r, dtype=np.float64)
+    sp = -r[2, 0]
+    if abs(sp) > 1.0 - 1e-12:
+        # gimbal: pitch at +-pi/2; fold roll into yaw
+        pitch = np.pi / 2 * np.sign(sp)
+        roll = 0.0
+        yaw = np.arctan2(-r[0, 1], r[1, 1])
+    else:
+        pitch = np.arcsin(sp)
+        roll = np.arctan2(r[2, 1], r[2, 2])
+        yaw = np.arctan2(r[1, 0], r[0, 0])
+    return np.array([roll, pitch, yaw])
+
+
+def export_chain_urdf(chain, path: str, tip_radius: float | None = None):
+    """Write a URDF for any :class:`~leibnizgym_tpu.models.chain.ChainModel`
+    such that ``chain_from_urdf(exported)`` rebuilds the same tables.
+
+    This is the generic form of :func:`export_trifinger_urdf`: it serializes
+    the framework's own model tables (mount transforms, per-joint origins/
+    axes/limits, merged link inertials) — a clean-room asset, not a copy of
+    any reference file. The tip link is emitted massless (its inertia is
+    already merged into the lower link, matching the ChainModel convention)
+    with an optional analytic sphere collision.
+    """
+    from leibnizgym_tpu.models import trifinger as tf
+
+    if tip_radius is None:
+        tip_radius = float(tf.TIP_SPHERE_RADIUS)
+
+    def fmt(v):
+        return " ".join(f"{float(x):.10g}" for x in np.asarray(v).ravel())
+
+    link_names = ["upper", "middle", "lower"]
+    lines = ['<?xml version="1.0"?>', f'<robot name="{chain.name}">',
+             '  <link name="base_link"/>']
+    for f in range(chain.num_fingers):
+        suffix = ["0", "120", "240"][f] if chain.num_fingers == 3 else "0"
+        m_rpy = _matrix_to_rpy(chain.mount_rot[f])
+        lines += [
+            f'  <link name="finger_base_link_{suffix}"/>',
+            f'  <joint name="base_to_finger_{suffix}" type="fixed">',
+            '    <parent link="base_link"/>',
+            f'    <child link="finger_base_link_{suffix}"/>',
+            f'    <origin xyz="{fmt(chain.mount_pos[f])}" rpy="{fmt(m_rpy)}"/>',
+            "  </joint>",
+        ]
+        parent = f"finger_base_link_{suffix}"
+        for j in range(3):
+            child = f"finger_{link_names[j]}_link_{suffix}"
+            inertia = np.asarray(chain.link_inertias[j], dtype=np.float64)
+            j_rpy = _matrix_to_rpy(chain.joint_rot[j])
+            lines += [
+                f'  <link name="{child}">',
+                "    <inertial>",
+                f'      <origin xyz="{fmt(chain.link_coms[j])}"/>',
+                f'      <mass value="{float(chain.link_masses[j]):.10g}"/>',
+                f'      <inertia ixx="{inertia[0, 0]:.10g}" iyy="{inertia[1, 1]:.10g}"'
+                f' izz="{inertia[2, 2]:.10g}" ixy="{inertia[0, 1]:.10g}"'
+                f' ixz="{inertia[0, 2]:.10g}" iyz="{inertia[1, 2]:.10g}"/>',
+                "    </inertial>",
+                "  </link>",
+                f'  <joint name="finger_joint_{j}_{suffix}" type="revolute">',
+                f'    <parent link="{parent}"/>',
+                f'    <child link="{child}"/>',
+                f'    <origin xyz="{fmt(chain.joint_xyz[j])}" rpy="{fmt(j_rpy)}"/>',
+                f'    <axis xyz="{fmt(chain.joint_axis[j])}"/>',
+                f'    <limit lower="{float(chain.joint_lower[j]):.10g}"'
+                f' upper="{float(chain.joint_upper[j]):.10g}"'
+                f' effort="{float(chain.effort_limit[j]):.10g}"'
+                f' velocity="{float(chain.velocity_limit[j]):.10g}"/>',
+                "  </joint>",
+            ]
+            parent = child
+        lines += [
+            f'  <link name="finger_tip_link_{suffix}">',
+            "    <collision>",
+            f'      <geometry><sphere radius="{tip_radius:.10g}"/></geometry>',
+            "    </collision>",
+            "  </link>",
+            f'  <joint name="finger_lower_to_tip_joint_{suffix}" type="fixed">',
+            f'    <parent link="{parent}"/>',
+            f'    <child link="finger_tip_link_{suffix}"/>',
+            f'    <origin xyz="{fmt(chain.tip_xyz)}"/>',
+            "  </joint>",
+        ]
+    lines.append("</robot>")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return path
+
+
 def finger_chain_tables(model: UrdfModel, finger_suffix: str = "0") -> dict:
     """Extract the per-finger chain tables (joint offsets, axes, tip offset,
     limits) for a trifinger-family URDF — the data that feeds
