@@ -214,3 +214,151 @@ class TestActuatorPipeline:
         # bounded: the velocity clamp (reference _max_velocity_radps=10) holds
         qd = np.asarray(env._state.physics.qd)
         assert np.abs(qd).max() <= 10.0 + 1e-5
+
+
+class TestRestitutionSweep:
+    """Restitution implementation vs analytic rebound (VERDICT r2 weak-#5).
+
+    PhysX semantics reproduced by the engine: restitution activates only
+    above bounce_threshold_velocity (0.5 m/s, rlg_hydra.py:32) and targets
+    v_out = -e * v_in at the first contact substep. A flat cube dropped at
+    v_in ~ 1.7 m/s must leave the impact with v_out/v_in within a few % of
+    the configured pair coefficient. (The pair value is post-combine; PhysX
+    default combine = average, SceneParams.default applies it.)"""
+
+    @pytest.mark.parametrize("e", [0.0, 0.4, 0.8])
+    def test_rebound_ratio(self, e):
+        params = SceneParams.default().replace(
+            restitution_cube_ground=jnp.asarray(e),
+            cube_linear_damping=jnp.asarray(0.0),
+        )
+        drop_h = 0.15  # impact speed sqrt(2*g*h) ~ 1.7 m/s >> threshold
+        state = PhysicsState.default(()).replace(
+            cube_pos=jnp.array([0.0, 0.0, 0.0325 + drop_h]),
+        )
+        f = jax.jit(lambda s: physics_step_v2(s, jnp.zeros(9), params, CFG, DT))
+        v_prev = 0.0
+        v_out = None
+        for _ in range(30):  # 0.6 s
+            state, _ = f(state)
+            vz = float(state.cube_linvel[2])
+            if v_prev < -1.0 and vz > v_prev + 0.5:
+                # impact happened inside this step; vz is the outgoing speed
+                v_out = vz
+                v_in = -v_prev
+                break
+            v_prev = vz
+        assert v_out is not None, "no impact detected"
+        if e == 0.0:
+            assert v_out < 0.05  # kills the bounce entirely
+        else:
+            # the impact substep consumes some incoming speed integrating
+            # gravity across dt; allow 10% + a small absolute slack
+            assert abs(v_out - e * v_in) < 0.1 * e * v_in + 0.05, (
+                f"e={e}: v_in={v_in:.3f}, v_out={v_out:.3f}"
+            )
+
+    def test_restitution_inactive_below_threshold(self):
+        """An impact slower than bounce_threshold must not rebound even at
+        e = 0.8 (PhysX bounce_threshold_velocity semantics)."""
+        params = SceneParams.default().replace(
+            restitution_cube_ground=jnp.asarray(0.8),
+        )
+        state = PhysicsState.default(()).replace(
+            cube_pos=jnp.array([0.0, 0.0, 0.0325 + 0.008]),  # v_in ~ 0.4 m/s
+        )
+        f = jax.jit(lambda s: physics_step_v2(s, jnp.zeros(9), params, CFG, DT))
+        max_vz_after = 0.0
+        touched = False
+        for _ in range(25):
+            state, _ = f(state)
+            if touched:
+                max_vz_after = max(max_vz_after, float(state.cube_linvel[2]))
+            if float(state.cube_pos[2]) < 0.034:
+                touched = True
+        assert touched
+        assert max_vz_after < 0.05
+
+
+class TestTipping:
+    """Static-stability parity in the contact regime difficulty-4 lives in:
+    a cube balanced on an edge falls toward the side its COM overhangs.
+    Critical angle for a uniform cube is 45 deg about the resting edge."""
+
+    def _drop_tilted(self, theta_deg):
+        th = np.deg2rad(theta_deg)
+        s = 0.0325  # half extent
+        # rotate about y by theta; rest the low edge on the ground
+        quat = jnp.array([0.0, np.sin(th / 2), 0.0, np.cos(th / 2)])
+        z0 = s * (abs(np.cos(th)) + abs(np.sin(th)))
+        params = SceneParams.default()
+        state = PhysicsState.default(()).replace(
+            cube_pos=jnp.array([0.0, 0.0, z0 + 1e-4]),
+            cube_quat=quat,
+        )
+        f = jax.jit(lambda s_: physics_step_v2(s_, jnp.zeros(9), params, CFG, DT))
+        for _ in range(60):  # 1.2 s, enough to settle either way
+            state, _ = f(state)
+        qx, qy, qz, qw = [float(v) for v in state.cube_quat]
+        # final tilt about y (rotation angle, folded to [0, pi])
+        angle = 2.0 * np.arccos(min(1.0, abs(qw)))
+        return np.rad2deg(angle), float(state.cube_pos[2])
+
+    def test_subcritical_falls_back(self):
+        angle, z = self._drop_tilted(30.0)
+        # settles flat on the original face: rotation ~ 0 (mod 90)
+        assert min(angle % 90.0, 90.0 - angle % 90.0) < 8.0
+        assert angle < 45.0, f"tipped the wrong way: {angle:.1f} deg"
+        assert abs(z - 0.0325) < 0.004
+
+    def test_supercritical_tips_over(self):
+        angle, z = self._drop_tilted(60.0)
+        assert abs(angle - 90.0) < 8.0, f"did not tip over: {angle:.1f} deg"
+        assert abs(z - 0.0325) < 0.004
+
+
+class TestTorsionQuantitative:
+    """Yaw-spin decay vs the PhysX patch-torsion model (VERDICT r2 weak-#5).
+
+    A spinning CUBE is stopped almost instantly by ordinary corner friction
+    (the 4 sliding support corners have a ~3 cm lever arm), so it cannot
+    distinguish the torsion term. The clean probe is the sphere object: one
+    contact point with zero lever arm about the spin axis -> only patch
+    torsion (limit mu_t * r_patch * N) decelerates it. On a resting sphere
+    N = m g, so alpha = mu_t * r_p * m * g / I_zz."""
+
+    _SPHERE_CFG = SolverConfig(object_shape=1)
+
+    def _spin_down(self, mu_t, n_steps, w0=6.0):
+        params = SceneParams.default(object_shape="sphere").replace(
+            mu_torsion=jnp.asarray(mu_t),
+            torsion_patch_radius=jnp.asarray(0.01),
+            cube_angular_damping=jnp.asarray(0.0),
+        )
+        r = float(params.cube_half_extents[0])
+        state = PhysicsState.default(()).replace(
+            cube_pos=jnp.array([0.0, 0.0, r]),
+            cube_angvel=jnp.array([0.0, 0.0, w0]),
+        )
+        f = jax.jit(lambda s: physics_step_v2(
+            s, jnp.zeros(9), params, self._SPHERE_CFG, DT
+        ))
+        for _ in range(n_steps):
+            state, _ = f(state)
+        izz = float(np.asarray(params.cube_inertia)[2])
+        m = float(params.cube_mass)
+        return float(state.cube_angvel[2]), m, izz
+
+    def test_spin_decel_matches_patch_model(self):
+        mu_t, r_p, w0, n_steps = 0.5, 0.01, 6.0, 10
+        w1, m, izz = self._spin_down(mu_t, n_steps, w0)
+        alpha = mu_t * r_p * m * 9.81 / izz
+        expected = max(0.0, w0 - alpha * n_steps * DT)
+        assert abs(w1 - expected) < 0.15 * w0, (
+            f"w1={w1:.2f}, expected={expected:.2f} (alpha={alpha:.2f})"
+        )
+
+    def test_no_torsion_no_decel(self):
+        w1, _, _ = self._spin_down(0.0, 10, w0=4.0)
+        # zero lever arm: without the torsion term nothing opposes the spin
+        assert w1 > 3.9
