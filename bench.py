@@ -54,6 +54,9 @@ def _bench_env(substeps: int):
             "command_mode": "torque",
             "asymmetric_obs": True,
             "sim": {"substeps": substeps},
+            # BENCH_ENGINE=soa|pallas|reference ablates the physics engine;
+            # default None = the shipped platform default (pallas on TPU)
+            "engine": os.environ.get("BENCH_ENGINE") or None,
         },
         verbose=False,
     )

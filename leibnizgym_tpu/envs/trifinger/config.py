@@ -94,8 +94,11 @@ TRIFINGER_DEFAULT_CONFIG_DICT = {
     # logical_and of reset & goal_reset — see SURVEY.md §3.2 warning);
     # "or" is the arguably-intended fix.
     "dones_mode": "and",
-    # physics engine implementation: "soa" (TPU-optimized) | "reference"
-    "engine": "soa",
+    # physics engine implementation: "pallas" (Mosaic mega-kernel, the TPU
+    # fast path) | "soa" (XLA scalar-component) | "reference" (readable
+    # oracle). None = platform default: pallas on TPU, soa elsewhere
+    # (interpret-mode pallas is test-only).
+    "engine": None,
     # optional cube-corner keypoint observations (8 object + 8 goal corners)
     "use_keypoint_obs": False,
     # domain randomization (reference dr/ package is an empty stub; these

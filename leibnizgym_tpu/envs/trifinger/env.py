@@ -241,7 +241,15 @@ def build_static(config: dict) -> EnvStatic:
     rs = config["reset_distribution"]
     term = config["termination_conditions"]["success"]
     sim = config["sim"]
-    engine = str(config.get("engine", "soa"))
+    # Default engine is platform-conditional: the Mosaic mega-kernel is the
+    # fast path ON TPU (3.3x the XLA-SoA engine end-to-end, 3 s compiles —
+    # RESULTS.md round-3 bench) but only runs in slow interpret mode
+    # elsewhere, so CPU (tests, multichip dryrun) defaults to the XLA-SoA
+    # engine. Explicit config always wins.
+    engine = config.get("engine")
+    if engine is None:
+        engine = "pallas" if jax.default_backend() == "tpu" else "soa"
+    engine = str(engine)
     if engine not in ("soa", "pallas", "reference"):
         raise ValueError(
             f"Invalid engine: {engine!r} not in ['soa', 'pallas', 'reference']."
