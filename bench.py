@@ -129,7 +129,11 @@ def _bench_ppo():
         },
         verbose=False,
     )
-    cfg = PPOConfig(minibatch_size=NUM_ENVS, cv_minibatch_size=NUM_ENVS)
+    cfg = PPOConfig(
+        minibatch_size=NUM_ENVS, cv_minibatch_size=NUM_ENVS,
+        # BENCH_PPO_DTYPE=float32|bfloat16 ablates the MLP compute dtype
+        network_dtype=os.environ.get("BENCH_PPO_DTYPE", "float32"),
+    )
     ts = init_train_state(cfg, env.static, env.params, jax.random.PRNGKey(0))
     step = jax.jit(train_iteration, static_argnums=(0, 1))
     ts, m = step(cfg, env.static, env.params, ts)

@@ -47,7 +47,8 @@ def dump(args):
             "seed": args.seed,
             "engine": args.engine,
             "sim": {"substeps": args.substeps,
-                    "physx": {"num_position_iterations": args.iterations}},
+                    "physx": {"num_position_iterations": args.iterations,
+                              "tpu_solver": args.solver}},
         },
         verbose=False,
     )
@@ -76,7 +77,7 @@ def dump(args):
         num_envs=args.num_envs, steps=args.steps, seed=args.seed,
         action_seed=args.action_seed, difficulty=args.difficulty,
         engine=args.engine, substeps=args.substeps, iterations=args.iterations,
-        framework="leibnizgym_tpu",
+        solver=args.solver, framework="leibnizgym_tpu",
     )
     np.savez_compressed(args.out, meta=json.dumps(meta), **arrays)
     print_info(f"wrote {args.out}: "
@@ -125,6 +126,8 @@ def main():
     d.add_argument("--action-seed", type=int, default=1)
     d.add_argument("--difficulty", type=int, default=1)
     d.add_argument("--engine", type=str, default="soa")
+    d.add_argument("--solver", type=str, default="tgs",
+                   help="tpu_solver mode recorded in the dump (tgs|pgs)")
     d.add_argument("--substeps", type=int, default=2)
     d.add_argument("--iterations", type=int, default=4)
     d.add_argument("--out", type=str, required=True)

@@ -33,7 +33,10 @@ def test_trajectory_matches_golden():
             "seed": meta["seed"],
             "engine": meta["engine"],
             "sim": {"substeps": meta["substeps"],
-                    "physx": {"num_position_iterations": meta["iterations"]}},
+                    # dumps predating the solver field were recorded under
+                    # the then-default velocity-level PGS
+                    "physx": {"num_position_iterations": meta["iterations"],
+                              "tpu_solver": meta.get("solver", "pgs")}},
         },
         verbose=False,
     )
