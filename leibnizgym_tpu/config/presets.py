@@ -189,10 +189,28 @@ _D4_CURRICULUM_EXTRA = {
     "rlg_overrides": {"log_std_min": -1.6, "lr_threshold": 0.016},
 }
 
+# TPU-build extension: difficulty 3 with full domain randomization + obs
+# noise — the sim-to-real recipe the reference left as comments
+# (trifinger_env.py:385-392). The RESULTS.md round-2 DR run used these
+# ranges via CLI overrides; this preset formalizes them.
+_D3_DR_EXTRA = {
+    "obs_noise_std": 0.01,
+    "domain_randomization": {
+        "activate": True,
+        "cube_mass_scale": [0.8, 1.2],
+        "cube_size_scale": [0.97, 1.03],
+        "link_mass_scale": [0.9, 1.1],
+        "friction_scale": [0.7, 1.3],
+        "restitution_range": [0.0, 0.8],
+        "pd_gain_scale": [0.9, 1.1],
+    },
+}
+
 GYM_PRESETS: Dict[str, Dict[str, Any]] = {
     "trifinger_difficulty_1": _difficulty(1),
     "trifinger_difficulty_2": _difficulty(2),
     "trifinger_difficulty_3": _difficulty(3),
+    "trifinger_difficulty_3_dr": _difficulty(3, _D3_DR_EXTRA),
     "trifinger_difficulty_4": _difficulty(4, _D4_EXTRA),
     "trifinger_difficulty_4_keypoints": _difficulty(4, _D4_KP_EXTRA),
     "trifinger_difficulty_4_curriculum": _difficulty(4, _D4_CURRICULUM_EXTRA),

@@ -106,3 +106,25 @@ class TestEnvIntegration:
         env.reset()
         masses = np.asarray(env.state.scene.cube_mass)
         assert masses.std() == 0.0
+
+
+class TestDRPreset:
+    def test_d3_dr_preset_builds_and_steps(self):
+        import copy
+
+        import jax.numpy as jnp
+
+        from leibnizgym_tpu.config.presets import GYM_PRESETS
+        from leibnizgym_tpu.envs import TrifingerEnv
+
+        cfg = copy.deepcopy(GYM_PRESETS["trifinger_difficulty_3_dr"])
+        cfg["num_instances"] = 8
+        env = TrifingerEnv(config=cfg, verbose=False)
+        assert env.static.dr_activate
+        assert env.static.obs_noise_std == 0.01
+        obs = env.reset()
+        obs2, rew, dones, info = env.step(jnp.zeros((8, 9)))
+        assert np.isfinite(np.asarray(obs2)).all()
+        # obs noise makes two observations of an identical state differ:
+        # zero action twice from reset, envs share nothing -> just sanity
+        assert obs2.shape == obs.shape
