@@ -264,11 +264,16 @@ class Runner:
 
         self._watchdog_timeout = timeout
         self._last_progress = time.time()
+        self._watchdog_armed = True
 
         def watch():
-            while True:
+            while self._watchdog_armed:
                 t = self._watchdog_timeout
-                time.sleep(max(t / 4, 1.0))
+                # short sleep quantum so a disarm takes effect promptly (the
+                # stall check still uses the full timeout t)
+                time.sleep(min(max(t / 4, 1.0), 5.0))
+                if not self._watchdog_armed:
+                    return
                 if time.time() - self._last_progress > t:
                     print_notify(
                         f"WATCHDOG: no training progress for {t:.0f}s — "
@@ -278,6 +283,9 @@ class Runner:
 
         t = threading.Thread(target=watch, daemon=True)
         t.start()
+
+    def _stop_watchdog(self):
+        self._watchdog_armed = False
 
     # compile of the first epoch (remote tunnel) can take ~15 min; the
     # watchdog runs with this floor until the first epoch completes
@@ -448,6 +456,10 @@ class Runner:
                 dt, last_t = now - last_t, now
                 stop = process(e, jax.device_get(m), dt, ts_e)
         finally:
+            # training is over (or dying): the watchdog must not shoot a
+            # process that is now legitimately doing something else (eval,
+            # checkpoint IO, a long-lived test session)
+            self._stop_watchdog()
             # an exception/KeyboardInterrupt must not leave the last async
             # 'best'/'last' commit to a background thread a supervisor
             # SIGTERM can cut short after the old directory was removed
@@ -463,18 +475,17 @@ class Runner:
 
     # ---------------------------------------------------------------- playing
 
-    def play(self, checkpoint: Optional[str] = None, num_steps: int = 1000,
-             deterministic: bool = True,
-             curriculum_level: Optional[float] = None):
-        """Run the trained policy (reference play path, rlg_hydra README.md:83-97).
+    def make_policy(self, deterministic: bool = True,
+                    curriculum_level: Optional[float] = None):
+        """Build the deployment-side policy: a jitted ``(obs, key) -> action``
+        closure over the current ``ts.ac_params`` with the training-time
+        obs/action clipping baked in. Shared by :meth:`play` and external
+        evaluators (scripts/eval_policy.py) so any change to the action
+        semantics propagates everywhere.
 
-        In success-gated curriculum mode the env evaluates at FULL
-        difficulty (level 1.0: fully random goal orientations, final
-        tolerances) unless ``curriculum_level`` overrides it."""
-        if self.ts is None:
-            self.reset()
-        if checkpoint:
-            self.restore(checkpoint)
+        In success-gated curriculum mode the env is set to FULL difficulty
+        (level 1.0: fully random goal orientations, final tolerances) unless
+        ``curriculum_level`` overrides it."""
         if self._cur_gated:
             lvl = 1.0 if curriculum_level is None else float(curriculum_level)
             self.env.params = self.env.params.replace(
@@ -485,7 +496,7 @@ class Runner:
         cfg = self.ppo_cfg
 
         @jax.jit
-        def policy(params, obs, key):
+        def _policy(params, obs, key):
             mu, log_std, _ = actor_critic.apply(params, obs)
             if deterministic:
                 action = mu
@@ -493,13 +504,27 @@ class Runner:
                 action = mu + jnp.exp(log_std) * jax.random.normal(key, mu.shape)
             return jnp.clip(action, -cfg.clip_actions, cfg.clip_actions)
 
+        def policy(obs, key):
+            obs = jnp.clip(obs, -cfg.clip_obs, cfg.clip_obs)
+            return _policy(self.ts.ac_params, obs, key)
+
+        return policy
+
+    def play(self, checkpoint: Optional[str] = None, num_steps: int = 1000,
+             deterministic: bool = True,
+             curriculum_level: Optional[float] = None):
+        """Run the trained policy (reference play path, rlg_hydra README.md:83-97)."""
+        if self.ts is None:
+            self.reset()
+        if checkpoint:
+            self.restore(checkpoint)
+        policy = self.make_policy(deterministic, curriculum_level)
         obs = self.env.reset()
         key = jax.random.PRNGKey(0)
         total_reward = np.zeros(self.static.num_envs)
         for step in range(num_steps):
             key, k = jax.random.split(key)
-            obs = jnp.clip(obs, -cfg.clip_obs, cfg.clip_obs)
-            action = policy(self.ts.ac_params, obs, k)
+            action = policy(obs, k)
             obs, reward, dones, info = self.env.step(action)
             total_reward += np.asarray(reward)
             if self.env.visualize:  # live viewer (reference render-per-step)

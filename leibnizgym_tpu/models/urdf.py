@@ -295,7 +295,9 @@ def export_chain_urdf(chain, path: str, tip_radius: float | None = None):
     lines = ['<?xml version="1.0"?>', f'<robot name="{chain.name}">',
              '  <link name="base_link"/>']
     for f in range(chain.num_fingers):
-        suffix = ["0", "120", "240"][f] if chain.num_fingers == 3 else "0"
+        # trifinger convention for the 3-finger family; unique per-index
+        # suffixes otherwise (duplicate names would corrupt the round-trip)
+        suffix = ["0", "120", "240"][f] if chain.num_fingers == 3 else str(f)
         m_rpy = _matrix_to_rpy(chain.mount_rot[f])
         lines += [
             f'  <link name="finger_base_link_{suffix}"/>',

@@ -1,9 +1,12 @@
 #!/usr/bin/env python
 """Decompose the env-step cost on the chip: physics vs MDP layer, per engine.
 
-Times, inside a lax.scan like bench.py: (a) the bare physics step (engine_v2
-or pallas), (b) the full env step. The difference is the obs/reward/reset
-(MDP) layer. Prints one JSON line per measurement.
+Times, inside a lax.scan like bench.py: (a) the bare physics step under the
+ENV'S OWN SolverConfig (same solver type, iterations, substeps, gates — the
+env is built first and its `static.solver` is reused, so the subtraction is
+apples-to-apples), for both the XLA-SoA and pallas engines, and (b) the full
+env step. env_ms - physics_<default engine>_ms is the obs/reward/reset (MDP)
+layer. Prints one JSON line.
 """
 
 from __future__ import annotations
@@ -41,23 +44,35 @@ def _time_scan(fn, carry, rounds=5, length=20):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--num-envs", type=int, default=8192)
-    ap.add_argument("--substeps", type=int, default=2)
+    ap.add_argument("--substeps", type=int, default=4)
     ap.add_argument("--what", default="all",
                     choices=["all", "physics", "physics_pallas", "env"])
     args = ap.parse_args()
     n = args.num_envs
-    out = {"num_envs": n, "substeps": args.substeps}
+
+    from leibnizgym_tpu.envs.trifinger.env import (
+        TrifingerEnv, env_reset, env_step,
+    )
+
+    env = TrifingerEnv(
+        config={"num_instances": n, "command_mode": "torque",
+                "asymmetric_obs": True,
+                "sim": {"substeps": args.substeps}},
+        verbose=False,
+    )
+    static, params = env.static, env.params
+    cfg = static.solver  # the env's exact solver config, gates included
+    out = {"num_envs": n, "substeps": args.substeps,
+           "solver_type": cfg.solver_type, "iterations": cfg.solver_iterations,
+           "env_default_engine": static.engine}
 
     if args.what in ("all", "physics", "physics_pallas"):
-        from leibnizgym_tpu.ops.types import (
-            PhysicsState, SceneParams, SolverConfig,
-        )
+        from leibnizgym_tpu.ops.types import PhysicsState, SceneParams
 
         scene = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (n,) + jnp.shape(x)),
             SceneParams.default(),
         )
-        cfg = SolverConfig(substeps=args.substeps, solver_iterations=8)
         tau = jnp.zeros((n, 9))
         state0 = PhysicsState.default((n,))
 
@@ -81,17 +96,6 @@ def main():
                 out["physics_pallas_error"] = str(e)[:120]
 
     if args.what in ("all", "env"):
-        from leibnizgym_tpu.envs.trifinger.env import (
-            TrifingerEnv, env_reset, env_step,
-        )
-
-        env = TrifingerEnv(
-            config={"num_instances": n, "command_mode": "torque",
-                    "asymmetric_obs": True,
-                    "sim": {"substeps": args.substeps}},
-            verbose=False,
-        )
-        static, params = env.static, env.params
         state, _ = env_reset(static, params, jax.random.PRNGKey(0))
         action = jnp.zeros((n, static.action_dim))
         dt = _time_scan(
@@ -99,8 +103,11 @@ def main():
         )
         out["env_ms"] = round(dt * 1e3, 4)
         out["env_steps_per_s"] = round(n / dt)
-        if "physics_soa_ms" in out:
-            out["mdp_layer_ms"] = round(out["env_ms"] - out["physics_soa_ms"], 4)
+        phys_key = {"pallas": "physics_pallas_ms", "soa": "physics_soa_ms"}.get(
+            static.engine
+        )
+        if phys_key and phys_key in out:
+            out["mdp_layer_ms"] = round(out["env_ms"] - out[phys_key], 4)
 
     print(json.dumps(out))
 

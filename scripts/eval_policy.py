@@ -31,9 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from leibnizgym_tpu.config.presets import parse_cli, update_cfg
-from leibnizgym_tpu.learning.ppo import make_networks
 from leibnizgym_tpu.learning.runner import Runner
-from leibnizgym_tpu.utils import print_info
 
 
 def main(argv=None):
@@ -58,21 +56,11 @@ def main(argv=None):
 
     env = runner.env
     static = env.static
-    if runner._cur_gated:
-        env.params = env.params.replace(
-            curriculum_level=jnp.asarray(args.level, jnp.float32)
-        )
-        print_info(f"eval: curriculum level {args.level}")
-
-    cfg = runner.ppo_cfg
-    actor_critic, _ = make_networks(cfg, static)
-
-    @jax.jit
-    def policy(params, obs, key):
-        mu, log_std, _ = actor_critic.apply(params, obs)
-        if args.stochastic:
-            mu = mu + jnp.exp(log_std) * jax.random.normal(key, mu.shape)
-        return jnp.clip(mu, -cfg.clip_actions, cfg.clip_actions)
+    # shared deployment policy (Runner.make_policy): same network build,
+    # clipping, and curriculum-level handling as the play path
+    policy = runner.make_policy(
+        deterministic=not args.stochastic, curriculum_level=args.level
+    )
 
     obs = env.reset()
     key = jax.random.PRNGKey(args.seed)
@@ -87,8 +75,7 @@ def main(argv=None):
 
     for step in range(args.num_steps):
         key, k = jax.random.split(key)
-        obs = jnp.clip(obs, -cfg.clip_obs, cfg.clip_obs)
-        action = policy(runner.ts.ac_params, obs, k)
+        action = policy(obs, k)
         obs, reward, dones, info = env.step(action)
         st = env._state
         succ = np.asarray(st.goal_reset_buf)  # success fired this step

@@ -51,22 +51,33 @@ _VARIANTS = [
     "finger_with_stage.urdf",
 ]
 
-# optional cross-check against the read-only reference mount
+# optional cross-check against the read-only reference mount; the
+# shipped-name -> reference-path mapping's single source of truth is
+# scripts/export_assets.py (loaded by path so no scripts/ package needed)
 _REF_URDF_DIR = (
     "/root/reference/resources/assets/trifinger/robot_properties_fingers/urdf"
 )
-_REF_VARIANTS = {
-    "trifingerpro.urdf": "pro/trifingerpro.urdf",
-    "fingerpro.urdf": "pro/fingerpro.urdf",
-    "trifingerpro_with_stage.urdf": "pro/trifingerpro_with_stage.urdf",
-    "trifingeredu.urdf": "edu/trifingeredu.urdf",
-    "fingeredu.urdf": "edu/fingeredu.urdf",
-    "trifingeredu_with_stage.urdf": "edu/trifingeredu_with_stage.urdf",
-    "trifinger.urdf": "trifinger.urdf",
-    "trifinger_with_stage.urdf": "trifinger_with_stage.urdf",
-    "finger.urdf": "finger.urdf",
-    "finger_with_stage.urdf": "finger_with_stage.urdf",
-}
+
+
+def _load_ref_variants():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_export_assets",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "export_assets.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return {out: ref for ref, out in mod.ROBOT_VARIANTS}
+
+
+_REF_VARIANTS = _load_ref_variants()
+# the exporter's variant list and this file's simulability list must cover
+# the same assets — drift in either direction is an immediate failure
+assert sorted(_REF_VARIANTS) == sorted(_VARIANTS), (
+    "tests/_VARIANTS and scripts/export_assets.ROBOT_VARIANTS diverged"
+)
 
 needs_assets = pytest.mark.skipif(
     not os.path.isdir(_URDF_DIR), reason="shipped assets missing"

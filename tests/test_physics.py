@@ -704,12 +704,9 @@ class TestContactPairGating:
             cube_linvel=jnp.array([1.5, 0.0, 0.0]),
         )
         tau = jnp.zeros(9)
-        for gate, should_escape in ((False, True), (True, False)):
+        for should_escape in (True, False):
             cfg = SolverConfig(substeps=2, solver_iterations=4,
                                enable_cube_wall=not should_escape)
-            if should_escape:
-                cfg = SolverConfig(substeps=2, solver_iterations=4,
-                                   enable_cube_wall=False)
             f = jax.jit(lambda s, t, p, c=cfg: physics_step_v2(s, t, p, c, 0.02))
             s = state
             for _ in range(25):
@@ -740,6 +737,30 @@ class TestContactPairGating:
             assert float(jnp.linalg.norm(s.cube_pos[:2])) > float(
                 params.wall_radius
             ) + 0.05, stepper.__name__
+
+    def test_pallas_engine_honors_gates(self):
+        """The Mosaic kernel inherits gating through the shared
+        _substep_fields; interpret mode checks the packed path end-to-end
+        (CLAUDE.md invariant: all engines must agree)."""
+        from leibnizgym_tpu.ops.pallas_engine import physics_step_pallas
+
+        gated = SolverConfig(substeps=2, solver_iterations=4,
+                             **self._GATES_OFF)
+        params = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (8,) + jnp.shape(x)),
+            SceneParams.default(),
+        )
+        state = PhysicsState.default((8,)).replace(
+            cube_pos=jnp.broadcast_to(jnp.array([0.15, 0.0, 0.0325]), (8, 3)),
+            cube_linvel=jnp.broadcast_to(jnp.array([1.5, 0.0, 0.0]), (8, 3)),
+        )
+        tau = jnp.zeros((8, 9))
+        s = state
+        for _ in range(25):
+            s, _ = physics_step_pallas(s, tau, params, gated, 0.02,
+                                       interpret=True)
+        rho = float(jnp.linalg.norm(s.cube_pos[0, :2]))
+        assert rho > float(params.wall_radius[0]) + 0.05  # wall truly absent
 
     def test_env_config_plumbs_gates(self):
         from leibnizgym_tpu.config.presets import GYM_PRESETS

@@ -209,12 +209,15 @@ class TestTrainLoopPipelining:
         assert prev.epoch == 2  # the state BEFORE the first bad epoch
 
     def test_watchdog_rearm_after_first_epoch(self, tmp_path):
-        """The watchdog arms loose for the first-epoch compile and tightens
-        to the caller's timeout once epoch 1 completes."""
+        """The watchdog arms loose for the first-epoch compile, tightens to
+        the caller's timeout once epoch 1 completes, and is DISARMED when
+        train() returns (a live watchdog would os._exit(42) this pytest
+        process once the stub run's _last_progress goes stale)."""
         cfg = _loop_cfg()
         r, calls = _stub_runner(tmp_path, cfg, lambda e: _metrics(e))
         r.train(max_epochs=3, watchdog_timeout=10.0)
         assert r._watchdog_timeout == 10.0  # re-armed from the 1800s floor
+        assert r._watchdog_armed is False  # disarmed on exit
 
     def test_score_to_win_early_stop(self, tmp_path):
         cfg = _loop_cfg(score_to_win=50.0)
