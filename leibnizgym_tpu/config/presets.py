@@ -206,6 +206,15 @@ _D3_DR_EXTRA = {
     },
 }
 
+def _merged(*extras: Dict[str, Any]) -> Dict[str, Any]:
+    from leibnizgym_tpu.utils.helpers import update_dict
+
+    out: Dict[str, Any] = {}
+    for e in extras:
+        update_dict(out, copy.deepcopy(e))
+    return out
+
+
 GYM_PRESETS: Dict[str, Dict[str, Any]] = {
     "trifinger_difficulty_1": _difficulty(1),
     "trifinger_difficulty_2": _difficulty(2),
@@ -214,6 +223,14 @@ GYM_PRESETS: Dict[str, Dict[str, Any]] = {
     "trifinger_difficulty_4": _difficulty(4, _D4_EXTRA),
     "trifinger_difficulty_4_keypoints": _difficulty(4, _D4_KP_EXTRA),
     "trifinger_difficulty_4_curriculum": _difficulty(4, _D4_CURRICULUM_EXTRA),
+    # sim-to-real grade: the 6-DoF curriculum under full physics
+    # randomization (the combination the TriFinger paper trains for
+    # transfer; the reference repo itself never implemented DR)
+    "trifinger_difficulty_4_curriculum_dr": _difficulty(
+        4, _merged(_D4_CURRICULUM_EXTRA, {
+            "domain_randomization": _D3_DR_EXTRA["domain_randomization"],
+        })
+    ),
 }
 
 # ---------------------------------------------------------------------------
