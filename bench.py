@@ -168,7 +168,8 @@ def main():
         "metric": "env_steps_per_sec",
         "value": round(train_sps, 1),
         "unit": f"env-steps/s @ {NUM_ENVS} envs, 1 chip, random torque "
-                "actions, training config (substeps=4)",
+                "actions, substeps=4, 4 solver iterations (env default; "
+                "training presets use 8)",
         "vs_baseline": round(train_sps / BASELINE_STEPS_PER_SEC, 3),
     }
     # the substeps=2 comparison costs a second full-env XLA compile through
