@@ -20,6 +20,7 @@ Data layout: component-major (C, N) f32 arrays
 from __future__ import annotations
 
 import functools
+import os
 from types import SimpleNamespace
 
 import jax
@@ -30,7 +31,20 @@ from jax.experimental.pallas import tpu as pltpu
 from leibnizgym_tpu.ops.engine_v2 import _substep_fields
 from leibnizgym_tpu.ops.types import PhysicsState, SceneParams, SolverConfig
 
-TILE = 1024
+# Envs per kernel instance. Each quantity is TILE/1024 native 8x128 f32
+# vregs; the round-3 on-chip sweep (RESULTS.md) measured, per 8192-env
+# substeps=4 step: 512 -> 1.08 ms, 1024 -> 0.66 ms, 2048 -> 0.56 ms,
+# >=4096 -> compile failure (VMEM). 2048 ships as the default; batches
+# smaller than a tile use a 1024 floor (keeps interpret-mode tests cheap).
+# Overridable for tuning on other TPU generations.
+TILE = int(os.environ.get("LEIBNIZ_PALLAS_TILE", "2048"))
+_TILE_FLOOR = 1024
+
+
+def _effective_tile(n: int) -> int:
+    return TILE if n > _TILE_FLOOR else min(TILE, _TILE_FLOOR)
+
+
 STATE_ROWS = 31
 WRENCH_ROWS = 18
 
@@ -166,7 +180,8 @@ def physics_step_pallas(
     Returns (new_state, tip_wrench (N, 3, 6)).
     """
     n = state.q.shape[0]
-    pad = (-n) % TILE
+    tile = _effective_tile(n)
+    pad = (-n) % tile
     np_ = n + pad
 
     packed = pack_state(state)
@@ -183,7 +198,7 @@ def physics_step_pallas(
         packed = packed.at[24, n:].set(1.0)
 
     h = dt / cfg.substeps
-    grid = (np_ // TILE,)
+    grid = (np_ // tile,)
     kernel = functools.partial(_kernel, cfg, h)
     out, wrench = pl.pallas_call(
         kernel,
@@ -193,16 +208,16 @@ def physics_step_pallas(
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((STATE_ROWS, TILE), lambda i: (0, i),
+            pl.BlockSpec((STATE_ROWS, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((PARAM_ROWS, TILE), lambda i: (0, i),
+            pl.BlockSpec((PARAM_ROWS, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((STATE_ROWS, TILE), lambda i: (0, i),
+            pl.BlockSpec((STATE_ROWS, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((WRENCH_ROWS, TILE), lambda i: (0, i),
+            pl.BlockSpec((WRENCH_ROWS, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
