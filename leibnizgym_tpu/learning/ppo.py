@@ -414,64 +414,27 @@ def train_iteration(
             "value": f_value,
         }
 
-    def mb_update(carry, idx):
-        # idx: (k_rows,) timestep-row indices when time_sliced, else
-        # (mb_size,) flat sample indices — both a leading-axis take
-        ac_params, opt_state, lr, key = carry
-        # when time_sliced the minibatch keeps its (k_rows, n, ...) shape —
-        # the loss reduces over all leading dims, and merging the replicated
-        # row dim into the sharded env dim would force a resharding
-        mb = jax.tree.map(lambda x: jnp.take(x, idx, axis=0), data)
-        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            ac_params, mb, lr
-        )
-        updates, opt_state = ac_tx.update(grads, opt_state, ac_params)
-        ac_params = optax.apply_updates(ac_params, _apply_lr(updates, lr))
-        a_loss, c_loss, entropy, b_loss, kl = aux
-        if cfg.lr_schedule == "adaptive":
-            lr = jnp.where(kl > 2.0 * cfg.kl_threshold,
-                           jnp.maximum(lr / 1.5, cfg.min_lr), lr)
-            lr = jnp.where(kl < 0.5 * cfg.kl_threshold,
-                           jnp.minimum(lr * 1.5, cfg.max_lr), lr)
-        mb_out = (total, a_loss, c_loss, entropy, kl)
-        if cfg.nan_telemetry:
-            mb_out = mb_out + (optax.global_norm(grads),)
-        return (ac_params, opt_state, lr, key), mb_out
-
-    ac_params, ac_opt_state, lr = ts.ac_params, ts.ac_opt_state, ts.lr
-    metrics_acc = []
+    # Draw every mini-epoch's minibatch indices up front (same RNG stream
+    # order as the historical per-mini-epoch loops: all actor draws, then all
+    # central-value draws) so the updates can run in a single scan.
+    ac_idx_epochs = []
     for _ in range(cfg.mini_epochs):
         key, k_perm = jax.random.split(key)
         if time_sliced:
-            idxs = jax.random.permutation(k_perm, h).reshape(num_mb, k_rows)
+            ac_idx_epochs.append(
+                jax.random.permutation(k_perm, h).reshape(num_mb, k_rows)
+            )
         else:
             if cfg.shuffle_minibatches:
                 perm = jax.random.permutation(k_perm, batch)
             else:
                 perm = jnp.arange(batch)
-            idxs = perm[: num_mb * mb_size].reshape(num_mb, mb_size)
-        (ac_params, ac_opt_state, lr, key), ep_metrics = jax.lax.scan(
-            mb_update, (ac_params, ac_opt_state, lr, key), idxs
-        )
-        metrics_acc.append(ep_metrics)
+            ac_idx_epochs.append(perm[: num_mb * mb_size].reshape(num_mb, mb_size))
+    ac_idxs = jnp.concatenate(ac_idx_epochs, axis=0)
 
-    if cfg.nan_telemetry:
-        total_l, a_l, c_l, ent, kl, gnorms = jax.tree.map(
-            lambda *xs: jnp.stack(xs), *metrics_acc
-        )
-        kl_per_mb = kl  # (mini_epochs, num_mb) — locate the first nan update
-        total_l, a_l, c_l, ent, kl = (
-            jnp.mean(total_l), jnp.mean(a_l), jnp.mean(c_l), jnp.mean(ent),
-            jnp.mean(kl),
-        )
-    else:
-        total_l, a_l, c_l, ent, kl = jax.tree.map(
-            lambda *xs: jnp.mean(jnp.stack(xs)), *metrics_acc
-        )
-
-    # ---------------- central value training ---------------------------------
     cv_params, cv_opt_state = ts.cv_params, ts.cv_opt_state
     cv_loss_mean = jnp.asarray(0.0)
+    cv_idxs = None
     if asym:
         cv_num_mb = max(batch // cfg.cv_minibatch_size, 1)
         cv_mb = batch // cv_num_mb
@@ -490,31 +453,103 @@ def train_iteration(
         else:
             cv_data = {"s": flat(b_states), "r": flat(returns)}
 
-        def cv_update(carry, idx):
-            p, opt, key = carry
-            s = jnp.take(cv_data["s"], idx, axis=0)
-            r = jnp.take(cv_data["r"], idx, axis=0)
-            loss, grads = jax.value_and_grad(cv_loss_fn)(p, s, r)
-            updates, opt = cv_tx.update(grads, opt, p)
-            p = optax.apply_updates(
-                p, _apply_lr(updates, jnp.asarray(cfg.cv_learning_rate)))
-            return (p, opt, key), loss
-
-        losses = []
+        cv_idx_epochs = []
         for _ in range(cfg.cv_mini_epochs):
             key, k_perm = jax.random.split(key)
             if cv_time_sliced:
-                idxs = jax.random.permutation(k_perm, h).reshape(
-                    cv_num_mb, cv_k_rows
+                cv_idx_epochs.append(
+                    jax.random.permutation(k_perm, h).reshape(cv_num_mb, cv_k_rows)
                 )
             else:
                 perm = jax.random.permutation(k_perm, batch)
-                idxs = perm[: cv_num_mb * cv_mb].reshape(cv_num_mb, cv_mb)
-            (cv_params, cv_opt_state, key), ls = jax.lax.scan(
-                cv_update, (cv_params, cv_opt_state, key), idxs
+                cv_idx_epochs.append(
+                    perm[: cv_num_mb * cv_mb].reshape(cv_num_mb, cv_mb)
+                )
+        cv_idxs = jnp.concatenate(cv_idx_epochs, axis=0)
+
+    def _ac_step(ac_params, opt_state, lr, idx):
+        # idx: (k_rows,) timestep-row indices when time_sliced, else
+        # (mb_size,) flat sample indices — both a leading-axis take.
+        # When time_sliced the minibatch keeps its (k_rows, n, ...) shape —
+        # the loss reduces over all leading dims, and merging the replicated
+        # row dim into the sharded env dim would force a resharding
+        mb = jax.tree.map(lambda x: jnp.take(x, idx, axis=0), data)
+        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            ac_params, mb, lr
+        )
+        updates, opt_state = ac_tx.update(grads, opt_state, ac_params)
+        ac_params = optax.apply_updates(ac_params, _apply_lr(updates, lr))
+        a_loss, c_loss, entropy, b_loss, kl = aux
+        if cfg.lr_schedule == "adaptive":
+            lr = jnp.where(kl > 2.0 * cfg.kl_threshold,
+                           jnp.maximum(lr / 1.5, cfg.min_lr), lr)
+            lr = jnp.where(kl < 0.5 * cfg.kl_threshold,
+                           jnp.minimum(lr * 1.5, cfg.max_lr), lr)
+        mb_out = (total, a_loss, c_loss, entropy, kl)
+        if cfg.nan_telemetry:
+            mb_out = mb_out + (optax.global_norm(grads),)
+        return ac_params, opt_state, lr, mb_out
+
+    def _cv_step(p, opt, idx):
+        s = jnp.take(cv_data["s"], idx, axis=0)
+        r = jnp.take(cv_data["r"], idx, axis=0)
+        loss, grads = jax.value_and_grad(cv_loss_fn)(p, s, r)
+        updates, opt = cv_tx.update(grads, opt, p)
+        p = optax.apply_updates(
+            p, _apply_lr(updates, jnp.asarray(cfg.cv_learning_rate)))
+        return p, opt, loss
+
+    ac_params, ac_opt_state, lr = ts.ac_params, ts.ac_opt_state, ts.lr
+    # The actor and central-value SGD chains are data-independent of each
+    # other (cv targets come from the pre-update rollout values). Running
+    # both in ONE scan lets XLA overlap the two dependent chains inside each
+    # iteration — the epoch is latency-bound on sequential small-matmul
+    # updates (RESULTS.md), so halving the number of sequential scan steps
+    # directly shortens the critical path.
+    fuse_cv = asym and cv_idxs.shape[0] == ac_idxs.shape[0]
+    if fuse_cv:
+        def fused_update(carry, xs):
+            ac_p, ac_opt, lr, cv_p, cv_opt = carry
+            ac_idx, cv_idx = xs
+            ac_p, ac_opt, lr, mb_out = _ac_step(ac_p, ac_opt, lr, ac_idx)
+            cv_p, cv_opt, cv_l = _cv_step(cv_p, cv_opt, cv_idx)
+            return (ac_p, ac_opt, lr, cv_p, cv_opt), (mb_out, cv_l)
+
+        carry_u = (ac_params, ac_opt_state, lr, cv_params, cv_opt_state)
+        carry_u, (ep_metrics, cv_losses) = jax.lax.scan(
+            fused_update, carry_u, (ac_idxs, cv_idxs)
+        )
+        ac_params, ac_opt_state, lr, cv_params, cv_opt_state = carry_u
+        cv_loss_mean = jnp.mean(cv_losses)
+    else:
+        def mb_update(carry, idx):
+            ac_p, ac_opt, lr = carry
+            ac_p, ac_opt, lr, mb_out = _ac_step(ac_p, ac_opt, lr, idx)
+            return (ac_p, ac_opt, lr), mb_out
+
+        (ac_params, ac_opt_state, lr), ep_metrics = jax.lax.scan(
+            mb_update, (ac_params, ac_opt_state, lr), ac_idxs
+        )
+        if asym:
+            def cv_update(carry, idx):
+                p, opt = carry
+                p, opt, loss = _cv_step(p, opt, idx)
+                return (p, opt), loss
+
+            (cv_params, cv_opt_state), cv_losses = jax.lax.scan(
+                cv_update, (cv_params, cv_opt_state), cv_idxs
             )
-            losses.append(ls)
-        cv_loss_mean = jnp.mean(jnp.stack(losses))
+            cv_loss_mean = jnp.mean(cv_losses)
+
+    if cfg.nan_telemetry:
+        total_l, a_l, c_l, ent, kl, gnorms = ep_metrics
+        kl_per_mb = kl  # per-update kl trace — locate the first nan update
+        total_l, a_l, c_l, ent, kl = (
+            jnp.mean(total_l), jnp.mean(a_l), jnp.mean(c_l), jnp.mean(ent),
+            jnp.mean(kl),
+        )
+    else:
+        total_l, a_l, c_l, ent, kl = jax.tree.map(jnp.mean, ep_metrics)
 
     # ---------------- pack ----------------------------------------------------
     frame = ts.frame + h * n

@@ -40,6 +40,16 @@ from leibnizgym_tpu.ops.types import PhysicsState, SceneParams, SolverConfig
 TILE = int(os.environ.get("LEIBNIZ_PALLAS_TILE", "2048"))
 _TILE_FLOOR = 1024
 
+# Vector-register layout of the env axis inside the kernel. "2d" views each
+# tile of envs as (8, tile/8) so every per-env quantity fills all 8 sublanes
+# of the native (8, 128) f32 vregs; "1d" keeps (tile,) rows, which Mosaic
+# lays out on a single sublane strip (1/8 lane utilization). Pure relabeling
+# of the env axis — bit-identical results (equivalence tests cover both).
+# Default stays "1d" until the 2d layout is validated on real Mosaic
+# hardware (interpret-mode equivalence is already enforced by tests).
+LAYOUT = os.environ.get("LEIBNIZ_PALLAS_LAYOUT", "1d")
+SUBLANES = 8
+
 
 def _effective_tile(n: int) -> int:
     return TILE if n > _TILE_FLOOR else min(TILE, _TILE_FLOOR)
@@ -113,8 +123,9 @@ def pack_params(sp: SceneParams, n: int) -> jax.Array:
 
 def _kernel(cfg: SolverConfig, h: float, state_ref, params_ref, tau_ref,
             out_ref, wrench_ref):
-    # unpack rows into component tuples of (TILE,) vectors
-    rows = [state_ref[i, :] for i in range(STATE_ROWS)]
+    # unpack rows into component tuples of (TILE,) or (8, TILE/8) vectors —
+    # the physics core is elementwise over envs, so it never sees the shape
+    rows = [state_ref[i] for i in range(STATE_ROWS)]
     state = SimpleNamespace(
         q=tuple(rows[0:9]),
         qd=tuple(rows[9:18]),
@@ -123,8 +134,8 @@ def _kernel(cfg: SolverConfig, h: float, state_ref, params_ref, tau_ref,
         cube_linvel=tuple(rows[25:28]),
         cube_angvel=tuple(rows[28:31]),
     )
-    tau = tuple(tau_ref[i, :] for i in range(9))
-    p_rows = [params_ref[i, :] for i in range(PARAM_ROWS)]
+    tau = tuple(tau_ref[i] for i in range(9))
+    p_rows = [params_ref[i] for i in range(PARAM_ROWS)]
     fields = {}
     off = 0
     for name, k in _PARAM_FIELDS:
@@ -158,9 +169,9 @@ def _kernel(cfg: SolverConfig, h: float, state_ref, params_ref, tau_ref,
 
     carry = jax.lax.fori_loop(0, cfg.substeps, body, carry0)
     for i in range(STATE_ROWS):
-        out_ref[i, :] = carry[i]
+        out_ref[i] = carry[i]
     for j in range(WRENCH_ROWS):
-        wrench_ref[j, :] = carry[STATE_ROWS + j]
+        wrench_ref[j] = carry[STATE_ROWS + j]
 
 
 @functools.partial(
@@ -200,29 +211,47 @@ def physics_step_pallas(
     h = dt / cfg.substeps
     grid = (np_ // tile,)
     kernel = functools.partial(_kernel, cfg, h)
-    out, wrench = pl.pallas_call(
-        kernel,
-        out_shape=(
+    two_d = LAYOUT == "2d" and tile % SUBLANES == 0
+    if two_d:
+        # view the padded env axis as (8, np_/8): flat env j sits at
+        # (j // (np_/8), j % (np_/8)); the inverse reshape after the call
+        # restores the order exactly, so this is a pure register-layout
+        # change (all 8 sublanes of every f32 vreg carry live envs)
+        lanes = tile // SUBLANES
+        cols = np_ // SUBLANES
+
+        def _block(rows_):
+            return pl.BlockSpec((rows_, SUBLANES, lanes), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM)
+
+        packed = packed.reshape(STATE_ROWS, SUBLANES, cols)
+        pparams = pparams.reshape(PARAM_ROWS, SUBLANES, cols)
+        tau_t = tau_t.reshape(9, SUBLANES, cols)
+        out_shapes = (
+            jax.ShapeDtypeStruct((STATE_ROWS, SUBLANES, cols), jnp.float32),
+            jax.ShapeDtypeStruct((WRENCH_ROWS, SUBLANES, cols), jnp.float32),
+        )
+    else:
+        def _block(rows_):
+            return pl.BlockSpec((rows_, tile), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+
+        out_shapes = (
             jax.ShapeDtypeStruct((STATE_ROWS, np_), jnp.float32),
             jax.ShapeDtypeStruct((WRENCH_ROWS, np_), jnp.float32),
-        ),
+        )
+    out, wrench = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((STATE_ROWS, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((PARAM_ROWS, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((STATE_ROWS, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((WRENCH_ROWS, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ),
+        in_specs=[_block(STATE_ROWS), _block(PARAM_ROWS), _block(9)],
+        out_specs=(_block(STATE_ROWS), _block(WRENCH_ROWS)),
         interpret=interpret,
     )(packed, pparams, tau_t)
 
+    if two_d:
+        out = out.reshape(STATE_ROWS, np_)
+        wrench = wrench.reshape(WRENCH_ROWS, np_)
     if pad:
         out = out[:, :n]
         wrench = wrench[:, :n]
