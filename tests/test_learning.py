@@ -105,6 +105,42 @@ class TestTrainIteration:
         assert max(jax.tree.leaves(moved)) > 0, "parameters did not update"
         assert int(ts.frame) == 2 * cfg.horizon * 16
 
+    def test_flat_shuffle_fallback(self):
+        """num_mb > horizon disables time-sliced minibatching — the update
+        runs on flat globally-shuffled sample indices (rl_games-exact)."""
+        env = TrifingerEnv(
+            config={"num_instances": 16, "command_mode": "torque",
+                    "asymmetric_obs": True, "sim": {"substeps": 2}},
+            verbose=False,
+        )
+        cfg = PPOConfig(horizon=4, minibatch_size=8, mini_epochs=2,
+                        cv_minibatch_size=8, cv_mini_epochs=2)
+        ts = init_train_state(cfg, env.static, env.params, jax.random.PRNGKey(0))
+        ts, metrics = jax.jit(train_iteration, static_argnums=(0, 1))(
+            cfg, env.static, env.params, ts)
+        assert np.isfinite(float(metrics["losses/total"]))
+        assert np.isfinite(float(metrics["losses/cv_loss"]))
+
+    def test_unfused_cv_path(self):
+        """Mismatched actor/central-value update counts fall back to separate
+        update scans (fuse_cv=False) and still train both networks."""
+        env = TrifingerEnv(
+            config={"num_instances": 16, "command_mode": "torque",
+                    "asymmetric_obs": True, "sim": {"substeps": 2}},
+            verbose=False,
+        )
+        cfg = PPOConfig(horizon=4, minibatch_size=32, mini_epochs=2,
+                        cv_minibatch_size=32, cv_mini_epochs=1)
+        ts = init_train_state(cfg, env.static, env.params, jax.random.PRNGKey(0))
+        cv0 = jax.tree.map(lambda x: np.asarray(x).copy(), ts.cv_params)
+        ts, metrics = jax.jit(train_iteration, static_argnums=(0, 1))(
+            cfg, env.static, env.params, ts)
+        assert np.isfinite(float(metrics["losses/cv_loss"]))
+        moved = jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            cv0, ts.cv_params)
+        assert max(jax.tree.leaves(moved)) > 0, "cv params did not update"
+
     def test_symmetric_mode(self):
         env = TrifingerEnv(
             config={"num_instances": 8, "command_mode": "torque",
