@@ -636,6 +636,43 @@ class TestPallasEngine:
             assert err < 1e-5, f"{name}: {err}"
         assert float(jnp.abs(ref[1] - pal[1]).max()) < 1e-4
 
+    def test_2d_layout_matches_1d(self, monkeypatch):
+        """LEIBNIZ_PALLAS_LAYOUT=2d is a pure register-relabeling of the env
+        axis — results must be bit-identical to the 1d layout, including the
+        padding tail handling (n not a multiple of 8*lanes)."""
+        from leibnizgym_tpu.ops import pallas_engine as pe
+
+        cfg = SolverConfig(substeps=2, solver_iterations=4, solver_type=1)
+        n = 12  # not a multiple of SUBLANES: exercises pad + 2d reshape
+        rng = np.random.default_rng(7)
+        state = PhysicsState.default((n,)).replace(
+            q=jnp.asarray((np.tile(tf_model.JOINT_POS_DEFAULT, 3)
+                           + rng.uniform(-0.3, 0.3, (n, 9))).astype(np.float32)),
+            qd=jnp.asarray(rng.uniform(-2, 2, (n, 9)).astype(np.float32)),
+            cube_pos=jnp.asarray(np.stack(
+                [rng.uniform(-0.1, 0.1, n), rng.uniform(-0.1, 0.1, n),
+                 rng.uniform(0.03, 0.08, n)], -1).astype(np.float32)),
+            cube_linvel=jnp.asarray(rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)),
+            cube_angvel=jnp.asarray(rng.uniform(-2, 2, (n, 3)).astype(np.float32)),
+        )
+        scene = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n,) + jnp.shape(x)), SceneParams.default()
+        )
+        tau = jnp.asarray(rng.uniform(-0.36, 0.36, (n, 9)).astype(np.float32))
+        ref = pe.physics_step_pallas(state, tau, scene, cfg, 0.02, interpret=True)
+        monkeypatch.setattr(pe, "LAYOUT", "2d")
+        pe.physics_step_pallas.clear_cache()
+        try:
+            two = pe.physics_step_pallas(state, tau, scene, cfg, 0.02,
+                                         interpret=True)
+        finally:
+            pe.physics_step_pallas.clear_cache()
+        for name in ["q", "qd", "cube_pos", "cube_quat", "cube_linvel",
+                     "cube_angvel"]:
+            a, b = getattr(ref[0], name), getattr(two[0], name)
+            assert float(jnp.abs(a - b).max()) == 0.0, name
+        assert float(jnp.abs(ref[1] - two[1]).max()) == 0.0
+
 
 class TestContactPairGating:
     """Trace-time contact-group gates (SolverConfig.enable_*): a disabled
