@@ -659,6 +659,12 @@ class TestPallasEngine:
             lambda x: jnp.broadcast_to(x, (n,) + jnp.shape(x)), SceneParams.default()
         )
         tau = jnp.asarray(rng.uniform(-0.36, 0.36, (n, 9)).astype(np.float32))
+        # Pin BOTH layouts explicitly so the comparison cannot turn vacuous
+        # under ambient LEIBNIZ_PALLAS_LAYOUT/TILE env vars (the 2d path only
+        # engages when the tile divides into sublanes — assert it does)
+        assert pe._effective_tile(n) % pe.SUBLANES == 0
+        monkeypatch.setattr(pe, "LAYOUT", "1d")
+        pe.physics_step_pallas.clear_cache()
         ref = pe.physics_step_pallas(state, tau, scene, cfg, 0.02, interpret=True)
         monkeypatch.setattr(pe, "LAYOUT", "2d")
         pe.physics_step_pallas.clear_cache()
