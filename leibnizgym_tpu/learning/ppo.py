@@ -65,6 +65,13 @@ class PPOConfig:
     reward_shaper_scale: float = 0.01
     clip_obs: float = 5.0
     clip_actions: float = 1.0
+    # observation frame stacking (reference rlg_train.py:83-86:
+    # ``wrappers.FrameStack(env, frames, False)``): the actor consumes the
+    # last `frames` clipped observations, flattened frame-major (oldest
+    # first). Rolls inside the jitted rollout scan — and, quirk-faithful to
+    # rl_games' vectorized wrapper, rolls THROUGH per-env auto-resets (the
+    # stack is never cleared per-env on done). 1 = no stacking.
+    frames: int = 1
     max_epochs: int = 100000
     save_best_after: int = 500
     save_frequency: int = 100
@@ -136,6 +143,7 @@ class PPOConfig:
                 if (c.get("mixed_precision") or c.get("network_dtype") == "bfloat16")
                 else "float32"
             ),
+            frames=int(c.get("frames", 1)),
             nan_telemetry=bool(c.get("nan_telemetry", False)),
             log_std_min=float(c.get("log_std_min", -20.0)),
             host_pipeline_depth=int(c.get("host_pipeline_depth", 4)),
@@ -202,6 +210,9 @@ def init_train_state(
     k_env, k_ac, k_cv, k_rest = jax.random.split(key, 4)
     env_state, obs = env_reset(static, params, k_env)
     obs = jnp.clip(obs, -cfg.clip_obs, cfg.clip_obs)
+    if cfg.frames > 1:
+        # initial stack = the reset obs repeated (FrameStack.reset parity)
+        obs = jnp.tile(obs, (1, cfg.frames))
     actor_critic, central_value = make_networks(cfg, static)
     ac_params = actor_critic.init(k_ac, obs[:1])
     ac_tx, cv_tx = make_optimizers(cfg)
@@ -283,6 +294,12 @@ def train_iteration(
             static, env_params, env_state, clipped
         )
         next_obs = jnp.clip(next_obs, -cfg.clip_obs, cfg.clip_obs)
+        if cfg.frames > 1:
+            # roll the frame stack: drop the oldest obs_dim block, append
+            # the new frame (never cleared per-env on reset — see PPOConfig)
+            next_obs = jnp.concatenate(
+                [obs[:, static.obs_dim:], next_obs], axis=-1
+            )
         if asym:
             next_states = jnp.clip(next_states, -cfg.clip_obs, cfg.clip_obs)
         shaped = reward * cfg.reward_shaper_scale

@@ -510,6 +510,18 @@ class Runner:
 
         return policy
 
+    def wrap_env(self, env=None):
+        """Apply the inference-side obs wrappers the policy was trained with:
+        FrameStack when ``frames > 1`` (reference rlg_train.py:83-86). The
+        learner rolls the stack inside its jitted rollout; external step
+        loops (play/eval/replay) get the equivalent via the wrapper."""
+        env = env if env is not None else self.env
+        if self.ppo_cfg.frames > 1:
+            from leibnizgym_tpu.wrappers import FrameStack
+
+            env = FrameStack(env, self.ppo_cfg.frames, flatten=True)
+        return env
+
     def play(self, checkpoint: Optional[str] = None, num_steps: int = 1000,
              deterministic: bool = True,
              curriculum_level: Optional[float] = None):
@@ -519,13 +531,14 @@ class Runner:
         if checkpoint:
             self.restore(checkpoint)
         policy = self.make_policy(deterministic, curriculum_level)
-        obs = self.env.reset()
+        env = self.wrap_env()
+        obs = env.reset()
         key = jax.random.PRNGKey(0)
         total_reward = np.zeros(self.static.num_envs)
         for step in range(num_steps):
             key, k = jax.random.split(key)
             action = policy(obs, k)
-            obs, reward, dones, info = self.env.step(action)
+            obs, reward, dones, info = env.step(action)
             total_reward += np.asarray(reward)
             if self.env.visualize:  # live viewer (reference render-per-step)
                 self.env.render()

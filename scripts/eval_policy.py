@@ -54,8 +54,8 @@ def main(argv=None):
     runner.reset()
     runner.restore(args.checkpoint)
 
-    env = runner.env
-    static = env.static
+    env = runner.wrap_env()  # applies FrameStack when trained with frames>1
+    static = runner.env.static
     # shared deployment policy (Runner.make_policy): same network build,
     # clipping, and curriculum-level handling as the play path
     policy = runner.make_policy(

@@ -155,6 +155,68 @@ class TestTrainIteration:
         assert np.isfinite(float(metrics["losses/total"]))
 
 
+class TestFrameStacking:
+    """PPOConfig.frames wires rl_games-style obs frame stacking into the
+    jitted learner (reference rlg_train.py:83-86)."""
+
+    def _env(self, n=16):
+        return TrifingerEnv(
+            config={"num_instances": n, "command_mode": "torque",
+                    "asymmetric_obs": True, "sim": {"substeps": 2}},
+            verbose=False,
+        )
+
+    def test_trains_with_stacked_obs(self):
+        env = self._env()
+        cfg = PPOConfig(horizon=4, minibatch_size=32, mini_epochs=2,
+                        cv_minibatch_size=32, cv_mini_epochs=2, frames=2)
+        ts = init_train_state(cfg, env.static, env.params, jax.random.PRNGKey(0))
+        d = env.static.obs_dim
+        assert ts.obs.shape == (16, 2 * d)
+        # initial stack = the reset obs repeated (FrameStack.reset parity)
+        assert np.array_equal(np.asarray(ts.obs[:, :d]), np.asarray(ts.obs[:, d:]))
+        # the actor's first layer consumes the stacked width
+        kernels = [
+            leaf for path, leaf in
+            jax.tree_util.tree_flatten_with_path(ts.ac_params)[0]
+            if leaf.ndim == 2 and leaf.shape[0] == 2 * d
+        ]
+        assert kernels, "no first-layer kernel with stacked input width"
+        step = jax.jit(train_iteration, static_argnums=(0, 1))
+        for _ in range(2):
+            ts, metrics = step(cfg, env.static, env.params, ts)
+        m = jax.device_get(metrics)
+        assert all(np.isfinite(np.asarray(v)).all() for v in m.values())
+        assert ts.obs.shape == (16, 2 * d)
+        # after >=2 steps the two frame blocks must differ (the stack rolls)
+        assert not np.array_equal(np.asarray(ts.obs[:, :d]),
+                                  np.asarray(ts.obs[:, d:]))
+
+    def test_learner_roll_matches_wrapper(self):
+        """The learner's in-scan stacking must produce the same flattened
+        layout as wrappers.FrameStack(flatten=True): oldest frame first."""
+        from leibnizgym_tpu.wrappers import FrameStack, VecTaskPython
+
+        env = self._env(n=8)
+        vec = VecTaskPython(env)
+        fs = FrameStack(vec, 3, flatten=True)
+        obs0 = fs.reset()
+        d = env.static.obs_dim
+        action = jnp.zeros((8, env.static.action_dim))
+        # learner rule: next_stack = concat([stack[:, d:], new_obs], -1)
+        stack = obs0
+        for _ in range(2):
+            wrapped, _, _, _ = fs.step(action)
+            new_raw = wrapped[:, -d:]  # newest frame sits in the last block
+            stack = jnp.concatenate([stack[:, d:], new_raw], axis=-1)
+            assert np.allclose(np.asarray(stack), np.asarray(wrapped))
+
+    def test_cli_frames_override(self):
+        cfg = parse_cli(["rlg.params.config.frames=2"])
+        ppo = PPOConfig.from_rlg_params(cfg["rlg"]["params"], 64)
+        assert ppo.frames == 2
+
+
 class TestConfig:
     def test_from_rlg_params(self):
         cfg = PPOConfig.from_rlg_params(rlg_asymm_config()["params"], 8192)
