@@ -346,7 +346,8 @@ def build_static(config: dict) -> EnvStatic:
     )
 
 
-def build_params(static: EnvStatic, object_dims: CuboidalObject) -> EnvParams:
+def build_params(static: EnvStatic, object_dims: CuboidalObject,
+                 arena: Optional[dict] = None) -> EnvParams:
     """Assemble scale vectors exactly as __configure_mdp_spaces
     (reference trifinger_env.py:630-748)."""
     jpos_low = np.tile(tf_model.JOINT_POS_LOW, 3)
@@ -440,12 +441,35 @@ def build_params(static: EnvStatic, object_dims: CuboidalObject) -> EnvParams:
         object_max_height=jnp.asarray(object_dims.max_height),
         object_radius_3d=jnp.asarray(object_dims.radius_3d),
         object_size_z=jnp.asarray(object_dims.size[2]),
-        scene_base=SceneParams.default(
-            object_size=object_dims.size,
-            object_shape="sphere" if static.solver.object_shape == 1 else "box",
+        scene_base=_scene_with_arena(
+            SceneParams.default(
+                object_size=object_dims.size,
+                object_shape="sphere" if static.solver.object_shape == 1 else "box",
+            ),
+            arena or {},
         ),
         curriculum_level=jnp.zeros((), jnp.float32),
     )
+
+
+def _scene_with_arena(scene: SceneParams, arena: dict) -> SceneParams:
+    """Apply the gym `arena` config onto the scene's wall profile.
+
+    ``arena.profile: "cone"`` selects the measured reference boundary
+    (high_table_boundary.stl: cylinder r=0.1945 below z=0.034, flaring at
+    dr/dz=0.577 above — scripts/asset_tools.py deviation, PARITY.md);
+    explicit ``wall_radius`` / ``wall_slope`` / ``wall_knee_z`` keys
+    override individual values. Default = the round-1..3 straight cylinder."""
+    if str(arena.get("profile", "")) == "cone":
+        scene = scene.replace(
+            wall_radius=jnp.asarray(tf_model.WALL_CONE_BASE_RADIUS),
+            wall_slope=jnp.asarray(tf_model.WALL_CONE_SLOPE),
+            wall_knee_z=jnp.asarray(tf_model.WALL_CONE_KNEE_Z),
+        )
+    for key in ("wall_radius", "wall_slope", "wall_knee_z"):
+        if key in arena:
+            scene = scene.replace(**{key: jnp.asarray(float(arena[key]))})
+    return scene
 
 
 def _broadcast_scene(scene: SceneParams, n: int) -> SceneParams:
@@ -1164,7 +1188,9 @@ class TrifingerEnv(EnvBase):
             else tuple(float(s) for s in object_size)
         )
         self.static = build_static(merged)
-        self.params = build_params(self.static, self._object_dims)
+        self.params = build_params(
+            self.static, self._object_dims, arena=merged.get("arena")
+        )
 
         obs_spec = {
             "robot_q": 9, "robot_u": 9, "object_q": 7, "object_q_des": 7,

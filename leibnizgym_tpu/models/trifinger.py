@@ -135,6 +135,15 @@ TIP_SPHERE_OFFSET = np.array([0.0, 0.0, 0.0013], dtype=np.float32)
 WALL_INNER_RADIUS = 0.191
 WALL_HEIGHT = 0.176
 
+# measured profile of the reference boundary (high_table_boundary.stl inner
+# envelope, scripts/asset_tools.py deviation): a vertical cylinder of radius
+# WALL_CONE_BASE_RADIUS up to WALL_CONE_KNEE_Z, then a cone flaring at
+# WALL_CONE_SLOPE (dr/dz). Selected via gym config arena.profile="cone";
+# the default arena stays the straight cylinder above (PARITY.md).
+WALL_CONE_BASE_RADIUS = 0.1945
+WALL_CONE_KNEE_Z = 0.034
+WALL_CONE_SLOPE = 0.577
+
 # lower-link shaft collision samples: (fraction along the knee->tip segment,
 # sphere radius). Radii measured from cross-sections of the reference lower
 # link mesh (SIM__BL-Finger_Tip_without_tip.obj: shaft p95 radius ~0.013 near

@@ -155,6 +155,24 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
     sphere_obj = cfg.object_shape == 1
     radius_o = half[0]  # sphere radius (half_extents broadcast to (r, r, r))
     ground_n = jnp.array([0.0, 0.0, 1.0])
+
+    def wall_gap(pts):
+        """Perpendicular gap (k,) from points (k, 3) to the arena wall
+        (positive inside) + inward normals (k, 3). Piecewise cylinder+cone
+        profile (SceneParams.wall_slope/wall_knee_z; slope 0 = the plain
+        cylinder). Mirrors engine_v2._wall_gap_s."""
+        rho = jnp.maximum(jnp.linalg.norm(pts[:, 0:2], axis=-1), 1e-9)
+        z_over = jnp.maximum(pts[:, 2] - params.wall_knee_z, 0.0)
+        s = jnp.where(z_over > 0.0, params.wall_slope, 0.0)
+        inv_len = 1.0 / jnp.sqrt(1.0 + s * s)
+        r_eff = params.wall_radius + params.wall_slope * z_over
+        gap = (r_eff - rho) * inv_len
+        n = jnp.concatenate(
+            [-pts[:, 0:2] / rho[:, None] * inv_len[:, None],
+             (s * inv_len)[:, None]], axis=-1,
+        )
+        return gap, n
+
     if sphere_obj:
         a_pts = (state.cube_pos - ground_n * radius_o)[None]  # (1, 3)
         if cfg.enable_cube_wall:
@@ -163,8 +181,8 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
             b_pts = (state.cube_pos + jnp.concatenate(
                 [outward * radius_o, jnp.zeros(1)]
             ))[None]
-            b_depth = (rho_c + radius_o - params.wall_radius)[None]
-            b_n = jnp.concatenate([-outward, jnp.zeros(1)])[None]
+            gap_c, b_n = wall_gap(state.cube_pos[None])
+            b_depth = radius_o - gap_c
     else:
         corners_w = state.cube_pos + jnp.einsum(
             "ij,cj->ci", body.rot, _CORNER_SIGNS * half
@@ -172,10 +190,8 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
         a_pts = corners_w
         if cfg.enable_cube_wall:
             b_pts = corners_w
-            rho = jnp.linalg.norm(corners_w[:, 0:2], axis=-1)
-            b_depth = rho - params.wall_radius
-            inward = -corners_w[:, 0:2] / jnp.maximum(rho[:, None], 1e-9)
-            b_n = jnp.concatenate([inward, jnp.zeros((8, 1))], axis=-1)
+            gap_b, b_n = wall_gap(corners_w)
+            b_depth = -gap_b
     _P = a_pts.shape[0]  # object contact points per group (static)
     if not cfg.enable_cube_wall:
         b_pts = jnp.zeros((0, 3))
@@ -230,10 +246,8 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
 
     # group E: tip spheres vs arena wall (3); inward radial normal, acts on
     # the finger only (reference stage collision, trifinger_env.py:874-937)
-    e_rho = jnp.linalg.norm(tip_centers[:_NE, 0:2], axis=-1)
-    e_depth = e_rho + params.tip_radius - params.wall_radius
-    e_inward = -tip_centers[:_NE, 0:2] / jnp.maximum(e_rho[:, None], 1e-9)
-    e_n = jnp.concatenate([e_inward, jnp.zeros((_NE, 1))], axis=-1)
+    e_gap, e_n = wall_gap(tip_centers[:_NE])
+    e_depth = params.tip_radius - e_gap
 
     # group F: lower-link shaft samples vs object (3 fingers x S samples)
     def link_cube(center, radius):

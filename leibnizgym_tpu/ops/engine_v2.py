@@ -285,6 +285,25 @@ def _tangent_basis_s(n):
     return t1, t2
 
 
+def _wall_gap_s(px, py, pz, params):
+    """Perpendicular gap from a point to the arena wall (positive inside)
+    and the inward surface normal, for the piecewise cylinder+cone profile
+    (SceneParams.wall_slope / wall_knee_z; slope 0 = the plain cylinder:
+    gap = wall_radius - rho, normal radial). Above the knee the surface is
+    rho = wall_radius + slope*(z - knee); its inward normal is
+    (-rho_hat + slope*z_hat)/sqrt(1+slope^2) and the perpendicular distance
+    picks up the same 1/sqrt(1+slope^2) factor."""
+    rho = jnp.sqrt(jnp.maximum(px * px + py * py, 1e-18))
+    inv_rho = 1.0 / rho
+    z_over = jnp.maximum(pz - params.wall_knee_z, 0.0)
+    s = jnp.where(z_over > 0.0, params.wall_slope, 0.0)
+    inv_len = 1.0 / jnp.sqrt(1.0 + s * s)
+    r_eff = params.wall_radius + params.wall_slope * z_over
+    gap = (r_eff - rho) * inv_len
+    n = (-px * inv_rho * inv_len, -py * inv_rho * inv_len, s * inv_len)
+    return gap, n
+
+
 def _contact_target_s(depth, v_n0, restitution, bounce_threshold, h, cfg,
                       bias_cap=None):
     pen_bias = cfg.baumgarte / h * jnp.maximum(depth - cfg.contact_slop, 0.0)
@@ -375,12 +394,12 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
             rho_c = jnp.sqrt(jnp.maximum(pos[0] ** 2 + pos[1] ** 2, 1e-18))
             inv_rho_c = 1.0 / jnp.maximum(rho_c, 1e-9)
             out_x, out_y = pos[0] * inv_rho_c, pos[1] * inv_rho_c
+            gap_c, n_c = _wall_gap_s(pos[0], pos[1], pos[2], params)
             b_points = [
                 (pos[0] + out_x * radius_o, pos[1] + out_y * radius_o, pos[2])
             ]
-            b_geoms = [  # (depth, n)
-                (rho_c + radius_o - params.wall_radius,
-                 (-out_x, -out_y, jnp.zeros_like(rho_c)))
+            b_geoms = [  # (depth, n): sphere vs wall surface
+                (radius_o - gap_c, n_c)
             ]
     else:
         corners = []
@@ -392,15 +411,10 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
         if cfg.enable_cube_wall:
             b_points = corners
             for ci in range(8):
-                rho = jnp.sqrt(
-                    jnp.maximum(corners[ci][0] ** 2 + corners[ci][1] ** 2, 1e-18)
+                gap, n = _wall_gap_s(
+                    corners[ci][0], corners[ci][1], corners[ci][2], params
                 )
-                inv_rho = 1.0 / rho
-                b_geoms.append((
-                    rho - params.wall_radius,
-                    (-corners[ci][0] * inv_rho, -corners[ci][1] * inv_rho,
-                     jnp.zeros_like(rho)),
-                ))
+                b_geoms.append((-gap, n))
 
     ez = (0.0, 0.0, 1.0)
 
@@ -581,10 +595,8 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
     e_contacts = []
     for f in range(3 if cfg.enable_tip_wall else 0):
         center = v3_add(fingers[f].tip_w, (0.0, 0.0, _TIP_OFF_Z))
-        rho = jnp.sqrt(jnp.maximum(center[0] ** 2 + center[1] ** 2, 1e-18))
-        depth = rho + params.tip_radius - params.wall_radius
-        inv_rho = 1.0 / rho
-        n = (-center[0] * inv_rho, -center[1] * inv_rho, jnp.zeros_like(rho))
+        gap, n = _wall_gap_s(center[0], center[1], center[2], params)
+        depth = params.tip_radius - gap
         t1, t2 = _tangent_basis_s(n)
         u = _tip_point_vel(fingers[f], qd_f[f])
         target = _contact_target_s(

@@ -84,6 +84,8 @@ _PARAM_FIELDS = (
     ("tip_radius", 1),
     ("bounce_threshold", 1),
     ("wall_radius", 1),
+    ("wall_slope", 1),
+    ("wall_knee_z", 1),
     ("mu_tip_wall", 1),
     ("restitution_tip_wall", 1),
     ("mu_link_cube", 1),

@@ -84,8 +84,16 @@ class SceneParams:
     # solver settings (static python numbers would also work, but keeping them
     # here lets DR perturb e.g. the bounce threshold)
     bounce_threshold: jax.Array  # () restitution activation velocity
-    # arena
+    # arena wall profile: vertical cylinder of `wall_radius` up to
+    # `wall_knee_z`, flaring outward at `wall_slope` (dr/dz) above it. The
+    # reference boundary mesh (high_table_boundary.stl) measures r=0.1945
+    # below z=0.034 and slope 0.577 above (scripts/asset_tools.py deviation,
+    # PARITY.md); the shipped default keeps the round-1..3 straight cylinder
+    # (slope 0) for learning-curve/golden-trajectory continuity — set
+    # gym config arena.profile="cone" for the measured reference profile.
     wall_radius: jax.Array  # ()
+    wall_slope: jax.Array  # () dr/dz above the knee; 0 = cylinder
+    wall_knee_z: jax.Array  # () height where the flare starts
     # extended contact pairs (tip-vs-wall, lower-link-vs-cube; reference
     # collision setup trifinger_env.py:874-937 collides every finger link and
     # the stage boundary)
@@ -171,6 +179,8 @@ class SceneParams:
             tip_radius=jnp.asarray(tf_model.TIP_SPHERE_RADIUS),
             bounce_threshold=jnp.asarray(0.5),
             wall_radius=jnp.asarray(tf_model.WALL_INNER_RADIUS),
+            wall_slope=jnp.zeros(()),
+            wall_knee_z=jnp.zeros(()),
             mu_tip_wall=jnp.asarray(
                 combine(tf_model.ROBOT_FRICTION, tf_model.STAGE_FRICTION)
             ),

@@ -680,6 +680,137 @@ class TestPallasEngine:
         assert float(jnp.abs(ref[1] - two[1]).max()) == 0.0
 
 
+class TestConeWall:
+    """Piecewise cylinder+cone arena wall (SceneParams.wall_slope /
+    wall_knee_z), fitted to the reference high_table_boundary.stl inner
+    envelope (scripts/asset_tools.py deviation: cone max dev 2.3 mm vs
+    80 mm for the default cylinder). Default (slope 0) must stay
+    bit-identical to the historical cylinder."""
+
+    def _cone_params(self):
+        return SceneParams.default().replace(
+            wall_radius=jnp.asarray(tf_model.WALL_CONE_BASE_RADIUS),
+            wall_slope=jnp.asarray(tf_model.WALL_CONE_SLOPE),
+            wall_knee_z=jnp.asarray(tf_model.WALL_CONE_KNEE_Z),
+        )
+
+    def test_gap_helper_analytics(self):
+        """_wall_gap_s against hand-computed cone geometry."""
+        from leibnizgym_tpu.ops.engine_v2 import _wall_gap_s
+
+        p = self._cone_params()
+        r0, s, zk = 0.1945, 0.577, 0.034
+        # below the knee: plain cylinder
+        gap, n = _wall_gap_s(jnp.asarray(0.15), jnp.asarray(0.0),
+                             jnp.asarray(0.02), p)
+        assert abs(float(gap) - (r0 - 0.15)) < 1e-6
+        assert abs(float(n[0]) + 1.0) < 1e-6 and abs(float(n[2])) < 1e-6
+        # above the knee: flared surface, perpendicular distance + tilted n
+        z = 0.134
+        r_eff = r0 + s * (z - zk)
+        inv_len = 1.0 / np.sqrt(1.0 + s * s)
+        gap, n = _wall_gap_s(jnp.asarray(0.15), jnp.asarray(0.0),
+                             jnp.asarray(z), p)
+        assert abs(float(gap) - (r_eff - 0.15) * inv_len) < 1e-6
+        assert abs(float(n[0]) + inv_len) < 1e-6
+        assert abs(float(n[2]) - s * inv_len) < 1e-6
+
+    def test_default_cylinder_bit_identical(self, step_fn):
+        """slope=0 must not perturb the shipped physics in any bit (golden
+        trajectories, learning parity): exercises a wall-contacting rollout
+        with and without the new fields explicitly zeroed."""
+        params = SceneParams.default()
+        state0 = PhysicsState.default(()).replace(
+            cube_pos=jnp.array([0.14, 0.0, 0.0325]),
+            cube_linvel=jnp.array([1.5, 0.0, 0.0]),
+            q=jnp.tile(jnp.asarray(tf_model.JOINT_POS_DEFAULT), 3),
+        )
+        tau_g = gravity_hold_torque()
+        s_a = s_b = state0
+        p_b = params.replace(wall_slope=jnp.zeros(()), wall_knee_z=jnp.zeros(()))
+        for _ in range(60):
+            s_a, _ = step_fn(s_a, tau_g, params)
+            s_b, _ = step_fn(s_b, tau_g, p_b)
+        assert float(jnp.abs(s_a.cube_pos - s_b.cube_pos).max()) == 0.0
+
+    def test_tip_wall_contact_respects_flare(self):
+        """A tip held above the knee near rho=0.2 penetrates the DEFAULT
+        cylinder (r=0.191) but is free under the cone profile (true wall is
+        ~0.25 out there): the cone must produce no wall impulse."""
+        from leibnizgym_tpu.ops.engine_v2 import _wall_gap_s
+
+        p_cyl = SceneParams.default()
+        p_cone = self._cone_params()
+        # direct gap check at a realistic high-tip position
+        px, py, pz = jnp.asarray(0.2), jnp.asarray(0.0), jnp.asarray(0.12)
+        gap_cyl, _ = _wall_gap_s(px, py, pz, p_cyl)
+        gap_cone, _ = _wall_gap_s(px, py, pz, p_cone)
+        tip_r = float(SceneParams.default().tip_radius)
+        assert float(gap_cyl) < tip_r  # cylinder: in contact
+        assert float(gap_cone) > tip_r  # cone: clear of the real wall
+
+    def test_cone_engine_equivalence(self):
+        """Cube thrown at the wall under the cone profile: oracle, SoA and
+        pallas(interpret) engines agree."""
+        from leibnizgym_tpu.ops.engine_v2 import physics_step_v2
+        from leibnizgym_tpu.ops.pallas_engine import physics_step_pallas
+
+        cfg = SolverConfig(substeps=2, solver_iterations=8)
+        n = 4
+        rng = np.random.default_rng(11)
+        base = self._cone_params()
+        params = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n,) + jnp.shape(x)), base
+        )
+        state = PhysicsState.default((n,)).replace(
+            q=jnp.asarray(np.tile(tf_model.JOINT_POS_DEFAULT, (n, 3)),
+                          jnp.float32),
+            cube_pos=jnp.asarray(np.stack(
+                [rng.uniform(0.10, 0.15, n), rng.uniform(-0.02, 0.02, n),
+                 rng.uniform(0.0325, 0.10, n)], -1).astype(np.float32)),
+            cube_linvel=jnp.asarray(np.stack(
+                [rng.uniform(0.8, 1.5, n), np.zeros(n), np.zeros(n)],
+                -1).astype(np.float32)),
+        )
+        tau = jnp.zeros((n, 9))
+        f_o = jax.jit(jax.vmap(lambda s, t, p: physics_step(s, t, p, cfg, 0.02)))
+        f_s = jax.jit(jax.vmap(lambda s, t, p: physics_step_v2(s, t, p, cfg, 0.02)))
+        s_o, s_s = state, state
+        for _ in range(30):
+            s_o, _ = f_o(s_o, tau, params)
+            s_s, _ = f_s(s_s, tau, params)
+        assert float(jnp.abs(s_o.cube_pos - s_s.cube_pos).max()) < 1e-4
+        s_p, _ = physics_step_pallas(state, tau, params, cfg, 0.02,
+                                     interpret=True)
+        s_s1, _ = f_s(state, tau, params)
+        assert float(jnp.abs(s_p.cube_pos - s_s1.cube_pos).max()) < 1e-5
+        # the wall must actually engage in this scenario (not vacuous): under
+        # the cone the cube still cannot escape the base-radius cylinder band
+        rho = jnp.linalg.norm(s_s.cube_pos[:, 0:2], axis=-1)
+        assert float(rho.max()) < tf_model.WALL_CONE_BASE_RADIUS + 0.02
+
+    def test_env_arena_config(self):
+        """gym config arena.profile='cone' reaches the scene params."""
+        from leibnizgym_tpu.envs.trifinger.env import TrifingerEnv
+
+        env = TrifingerEnv(
+            config={"num_instances": 2, "command_mode": "torque",
+                    "sim": {"substeps": 2},
+                    "arena": {"profile": "cone"}},
+            verbose=False,
+        )
+        sb = env.params.scene_base
+        assert abs(float(sb.wall_slope) - tf_model.WALL_CONE_SLOPE) < 1e-6
+        assert abs(float(sb.wall_radius) - tf_model.WALL_CONE_BASE_RADIUS) < 1e-6
+        env2 = TrifingerEnv(
+            config={"num_instances": 2, "command_mode": "torque",
+                    "sim": {"substeps": 2},
+                    "arena": {"profile": "cone", "wall_slope": 0.5}},
+            verbose=False,
+        )
+        assert abs(float(env2.params.scene_base.wall_slope) - 0.5) < 1e-6
+
+
 class TestContactPairGating:
     """Trace-time contact-group gates (SolverConfig.enable_*): a disabled
     group is not built at all — zero cost — and disabling groups a scenario
