@@ -79,6 +79,8 @@ def sample_scene_params(
         tip_radius=bc(base.tip_radius),
         bounce_threshold=bc(base.bounce_threshold),
         wall_radius=bc(base.wall_radius),
+        wall_slope=bc(base.wall_slope),
+        wall_knee_z=bc(base.wall_knee_z),
         mu_tip_wall=base.mu_tip_wall * fric,
         restitution_tip_wall=bc(base.restitution_tip_wall),
         mu_link_cube=base.mu_link_cube * fric,

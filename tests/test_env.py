@@ -52,6 +52,7 @@ class TestShapes:
         assert e.get_action_dim() == 18
 
 
+@pytest.mark.slow  # full-env XLA compile
 class TestRollout:
     def test_reset_and_step(self, env):
         obs = env.reset()
@@ -122,6 +123,7 @@ class TestRollout:
         assert bool(jnp.isfinite(st).all())
 
 
+@pytest.mark.slow  # full-env XLA compile
 class TestGoalSampling:
     @pytest.mark.parametrize("difficulty", [-1, 1, 2, 3, 4])
     def test_difficulties(self, difficulty):
@@ -146,6 +148,7 @@ class TestGoalSampling:
             assert np.abs(goal[:, 3:6]).max() > 0.1
 
 
+@pytest.mark.slow  # full-env XLA compile
 class TestCommandModes:
     @pytest.mark.parametrize("mode", ["torque", "position", "position_impedance"])
     def test_modes_run(self, mode):
@@ -235,6 +238,7 @@ class TestFrameCounter:
         assert int(wrapped) < 0
 
 
+@pytest.mark.slow  # full-env XLA compile
 class TestKeypointObs:
     def test_keypoint_dims_and_geometry(self):
         e = TrifingerEnv(
@@ -279,6 +283,7 @@ class TestLegacyConfig:
             load_cfg("NotATask")
 
 
+@pytest.mark.slow  # full-env XLA compile
 class TestGoalMovement:
     def test_rotating_goal(self):
         e = TrifingerEnv(
@@ -298,6 +303,7 @@ class TestGoalMovement:
         assert not np.allclose(g0, g1, atol=1e-4), "goal orientation should rotate"
 
 
+@pytest.mark.slow  # full-env XLA compile
 class TestObsNoise:
     """obs_noise_std (the reference's planned hook, trifinger_env.py:979)."""
 

@@ -18,6 +18,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from leibnizgym_tpu.envs import TrifingerEnv
+import pytest
+
+# full-env XLA compiles / multi-process: full-suite only
+pytestmark = pytest.mark.slow
 
 _GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "traj_d1_seed0.npz")
 

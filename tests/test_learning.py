@@ -89,6 +89,7 @@ def small_setup():
     return env, cfg, ts
 
 
+@pytest.mark.slow  # full-env XLA compile
 class TestTrainIteration:
     def test_two_iterations_finite_and_params_move(self, small_setup):
         env, cfg, ts = small_setup
@@ -155,6 +156,7 @@ class TestTrainIteration:
         assert np.isfinite(float(metrics["losses/total"]))
 
 
+@pytest.mark.slow  # full-env XLA compile
 class TestFrameStacking:
     """PPOConfig.frames wires rl_games-style obs frame stacking into the
     jitted learner (reference rlg_train.py:83-86)."""
@@ -247,6 +249,7 @@ class TestConfig:
             parse_cli(["gym=nonexistent"])
 
 
+@pytest.mark.slow  # full-env XLA compile
 class TestCheckpoint:
     def test_save_restore_roundtrip(self, small_setup, tmp_path):
         import orbax.checkpoint as ocp

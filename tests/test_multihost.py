@@ -12,6 +12,9 @@ import sys
 
 import pytest
 
+# full-env XLA compiles / multi-process: full-suite only
+pytestmark = pytest.mark.slow
+
 _SCRIPT = os.path.join(os.path.dirname(__file__), "..", "scripts", "multihost_demo.py")
 
 

@@ -21,6 +21,9 @@ from leibnizgym_tpu.ops import kinematics as K
 from leibnizgym_tpu.ops.engine_v2 import physics_step_v2
 from leibnizgym_tpu.ops.types import PhysicsState, SceneParams, SolverConfig
 
+# full-env XLA compiles / multi-process: full-suite only
+pytestmark = pytest.mark.slow
+
 CFG = SolverConfig()  # training default: substeps 4, 8 iterations
 DT = 0.02
 

@@ -366,6 +366,7 @@ class TestContacts:
         assert abs(float(jnp.linalg.norm(state.cube_quat)) - 1.0) < 1e-4
 
 
+@pytest.mark.slow  # full-env XLA compile
 class TestSingularContacts:
     """Finger-only contacts (tip-ground, tip-wall) at the kinematic
     singularity: a fully extended finger pressing the arena wall makes
@@ -398,6 +399,7 @@ class TestSingularContacts:
             assert float(jnp.max(jnp.abs(state.qd))) <= 10.0 + 1e-5
 
 
+@pytest.mark.slow  # full-env XLA compile
 class TestDegenerateTipContact:
     """Tip center exactly on/inside the cube: the closest-point delta is
     exactly zero, and the `outside` predicate must not classify it as
@@ -448,6 +450,7 @@ class TestDegenerateTipContact:
             assert bool(jnp.isfinite(leaf).all()), engine
 
 
+@pytest.mark.slow  # full-env XLA compile
 class TestTGS:
     """solver_type 1 (TGS mini-step mode, reference rlg_hydra.py:27-29):
     per-iteration pose integration with live depth updates."""
@@ -537,6 +540,7 @@ class TestTGS:
             assert err < 1e-5, f"{name}: {err}"
 
 
+@pytest.mark.slow  # full-env XLA compile
 class TestEngineEquivalence:
     """The SoA hot-path engine must match the readable reference engine."""
 
@@ -603,6 +607,7 @@ def gravity_hold_torque():
     return jnp.tile(tau3, 3)
 
 
+@pytest.mark.slow  # full-env XLA compile
 class TestPallasEngine:
     """Pallas mega-kernel must match the SoA engine (interpret mode on CPU)."""
 
@@ -680,6 +685,7 @@ class TestPallasEngine:
         assert float(jnp.abs(ref[1] - two[1]).max()) == 0.0
 
 
+@pytest.mark.slow  # full-env XLA compile
 class TestConeWall:
     """Piecewise cylinder+cone arena wall (SceneParams.wall_slope /
     wall_knee_z), fitted to the reference high_table_boundary.stl inner
@@ -811,6 +817,7 @@ class TestConeWall:
         assert abs(float(env2.params.scene_base.wall_slope) - 0.5) < 1e-6
 
 
+@pytest.mark.slow  # full-env XLA compile
 class TestContactPairGating:
     """Trace-time contact-group gates (SolverConfig.enable_*): a disabled
     group is not built at all — zero cost — and disabling groups a scenario

@@ -49,6 +49,7 @@ import os
 import jax.numpy as jnp
 
 from leibnizgym_tpu.learning.runner import Runner
+import pytest
 
 
 class _StubTS:
@@ -266,6 +267,7 @@ class TestCurriculumController:
         assert abs(float(r.env_params.curriculum_level) - r._cur_level) < 1e-6
 
 
+@pytest.mark.slow  # full-env XLA compile
 class TestCLITrainSmoke:
     """End-to-end: the normal CLI config path (presets -> update_cfg ->
     run_training) trains a short D1 run with frame stacking engaged

@@ -15,6 +15,9 @@ from leibnizgym_tpu.ops.engine import physics_step
 from leibnizgym_tpu.ops.engine_v2 import physics_step_v2
 from leibnizgym_tpu.ops.types import PhysicsState, SceneParams, SolverConfig
 
+# full-env XLA compiles / multi-process: full-suite only
+pytestmark = pytest.mark.slow
+
 CFG = SolverConfig(object_shape=1)
 STEPPERS = {"reference": physics_step, "soa": physics_step_v2}
 

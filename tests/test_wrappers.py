@@ -9,6 +9,9 @@ from leibnizgym_tpu.envs import TrifingerEnv
 from leibnizgym_tpu.wrappers.frame_stack import FrameStack
 from leibnizgym_tpu.wrappers.vec_task import VecTaskPython
 
+# full-env XLA compiles / multi-process: full-suite only
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def env():
