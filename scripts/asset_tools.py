@@ -48,7 +48,12 @@ def load_stl_vertices(path: str) -> np.ndarray:
     """Vertices of a binary STL file."""
     with open(path, "rb") as f:
         header = f.read(80)
-        if header[:5] == b"solid":
+        # "solid" header alone does NOT mean ASCII (binary exporters write it
+        # too, e.g. the reference's edu meshes): require an actual "facet"
+        # keyword in the first text chunk
+        f.seek(0)
+        probe = f.read(512)
+        if header[:5] == b"solid" and b"facet" in probe:
             # ASCII STL
             f.seek(0)
             verts = []
@@ -57,6 +62,7 @@ def load_stl_vertices(path: str) -> np.ndarray:
                 if parts[:1] == ["vertex"]:
                     verts.append([float(x) for x in parts[1:4]])
             return np.asarray(verts)
+        f.seek(80)
         import struct
 
         (n_tri,) = struct.unpack("<I", f.read(4))

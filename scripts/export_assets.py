@@ -94,6 +94,136 @@ def write_object_urdf(path: str, kind: str, size: float, massing) -> None:
         f.write(body)
 
 
+# Measured reference boundary profile (scripts/asset_tools.py deviation;
+# PARITY.md): vertical cylinder r=0.1945 below z=0.034, flaring at
+# dr/dz=0.577 up to z=0.176. Approximated in URDF primitives as a base
+# cylinder + stacked cylinder bands at the band-mid inner radius.
+_CONE_R0, _CONE_KNEE, _CONE_SLOPE, _CONE_TOP = 0.1945, 0.034, 0.577, 0.176
+# edu arena (edu/frame_wall.stl): cylindrical shell, inner r=0.242, h=0.25
+_EDU_WALL_R, _EDU_WALL_H = 0.242, 0.25
+# table slab (trifinger_table_without_border.stl): 0.71 x 0.76 x 0.01, top z=0
+_TABLE = (0.71, 0.76, 0.01)
+
+
+def _table_collision() -> str:
+    sx, sy, sz = _TABLE
+    return (f'    <collision>\n      <origin xyz="0 0 {-sz / 2}"/>\n'
+            f'      <geometry><box size="{sx} {sy} {sz}"/></geometry>\n'
+            "    </collision>")
+
+
+def _cone_boundary_collisions(bands: int = 4) -> str:
+    """The flared boundary as URDF cylinder elements (radius = inner arena
+    radius at each band, the quantity the engine's SceneParams carry)."""
+    out = [(f'    <collision>\n      <origin xyz="0 0 {_CONE_KNEE / 2}"/>\n'
+            f'      <geometry><cylinder radius="{_CONE_R0}" '
+            f'length="{_CONE_KNEE}"/></geometry>\n    </collision>')]
+    h = (_CONE_TOP - _CONE_KNEE) / bands
+    for b in range(bands):
+        z_mid = _CONE_KNEE + (b + 0.5) * h
+        r = _CONE_R0 + _CONE_SLOPE * (z_mid - _CONE_KNEE)
+        out.append(
+            f'    <collision>\n      <origin xyz="0 0 {z_mid:.5g}"/>\n'
+            f'      <geometry><cylinder radius="{r:.5g}" '
+            f'length="{h:.5g}"/></geometry>\n    </collision>')
+    return "\n".join(out)
+
+
+def _inertial(mass: float, i: float) -> str:
+    return (f'    <inertial>\n      <mass value="{mass}"/>\n'
+            f'      <inertia ixx="{i}" ixy="0" ixz="0" iyy="{i}" iyz="0" '
+            f'izz="{i}"/>\n    </inertial>')
+
+
+def write_stage_variant_urdfs(stage_dir: str) -> list:
+    """Analytic equivalents of the reference's stage-only URDF variants
+    (VERDICT r3 missing-#4): stage.urdf, stage_composite.urdf,
+    trifinger_stage.urdf, trifingeredu_stage.urdf, high_table_boundary.urdf
+    — reference robot_properties_fingers/urdf/. Geometry is the MEASURED
+    arena surfaces (table slab + boundary profile); the engine itself
+    consumes SceneParams (wall_radius/wall_slope/wall_knee_z), these files
+    are the asset-surface equivalents. The old stage's decorative
+    superstructure (trifinger_stage_vhacd2.obj frame) is not reproduced."""
+    cone = _cone_boundary_collisions()
+    table = _table_collision()
+    written = []
+
+    def write(name, body):
+        path = os.path.join(stage_dir, name)
+        with open(path, "w") as f:
+            f.write(body)
+        written.append(path)
+
+    two_link = """<?xml version="1.0"?>
+<robot name="{name}">
+  <!-- analytic equivalent of the reference {ref} (measured arena surfaces;
+       see scripts/export_assets.py + PARITY.md collision-deviation table) -->
+  <link name="base_link"/>
+  <link name="table_link">
+{table}
+{inertial_t}
+  </link>
+  <link name="boundary_link">
+{boundary}
+{inertial_b}
+  </link>
+  <joint name="base_to_table" type="fixed">
+    <parent link="base_link"/>
+    <child link="table_link"/>
+    <origin xyz="0 0 0"/>
+  </joint>
+  <joint name="table_to_boundary" type="fixed">
+    <parent link="table_link"/>
+    <child link="boundary_link"/>
+    <origin xyz="0 0 0"/>
+  </joint>
+</robot>
+"""
+    write("trifinger_stage.urdf", two_link.format(
+        name="trifinger_stage", ref="urdf/trifinger_stage.urdf",
+        table=table, boundary=cone,
+        inertial_t=_inertial(2, 0.0963), inertial_b=_inertial(2, 0.0571)))
+    edu_wall = (
+        f'    <collision>\n      <origin xyz="0 0 {_EDU_WALL_H / 2}"/>\n'
+        f'      <geometry><cylinder radius="{_EDU_WALL_R}" '
+        f'length="{_EDU_WALL_H}"/></geometry>\n    </collision>')
+    write("trifingeredu_stage.urdf", two_link.format(
+        name="trifingeredu_stage", ref="urdf/edu/trifingeredu_stage.urdf",
+        table=table, boundary=edu_wall,
+        inertial_t=_inertial(2, 0.0963), inertial_b=_inertial(2, 0.0571)))
+
+    one_link = """<?xml version="1.0"?>
+<robot name="{name}">
+  <!-- analytic equivalent of the reference {ref}: the measured arena
+       surfaces (table slab + flared boundary). The reference file is
+       {note}. -->
+  <link name="{link}">
+{body}
+{inertial}
+  </link>
+</robot>
+"""
+    write("high_table_boundary.urdf", one_link.format(
+        name="high_table_boundary", ref="urdf/high_table_boundary.urdf",
+        link="high_table_boundary_link", body=cone,
+        note="40 V-HACD convex pieces of high_table_boundary.stl "
+             "(the stage the env loads)",
+        inertial=_inertial(1, 0.0077)))
+    write("stage.urdf", one_link.format(
+        name="stage", ref="urdf/stage.urdf", link="stage_link",
+        body=table + "\n" + cone,
+        note="the monolithic trifinger_stage_vhacd2.obj mesh",
+        inertial=_inertial(1, 0.0077)))
+    write("stage_composite.urdf", one_link.format(
+        name="stage_composite", ref="urdf/stage_composite.urdf",
+        link="stage_link", body=table + "\n" + cone,
+        note="the same stage as a 36-piece convex decomposition — the "
+             "mesh-vs-decomposition distinction collapses for analytic "
+             "primitives",
+        inertial=_inertial(1, 0.0077)))
+    return written
+
+
 def write_stage_urdf(path: str) -> None:
     from leibnizgym_tpu.envs.trifinger.dims import ARENA_RADIUS
 
@@ -142,6 +272,9 @@ def main() -> int:
 
     write_stage_urdf(os.path.join(ASSETS, "stage", "trifinger_stage_tpu.urdf"))
     print("wrote resources/assets/stage/trifinger_stage_tpu.urdf")
+
+    for p in write_stage_variant_urdfs(os.path.join(ASSETS, "stage")):
+        print(f"wrote {os.path.relpath(p, REPO)}")
 
     # canonical env robot (from baked tables; no reference needed)
     export_trifinger_urdf(os.path.join(ASSETS, "trifinger_tpu.urdf"))
