@@ -38,14 +38,37 @@ NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 8192))
 # full dispatch+materialize window; the JSON reports the MEDIAN plus
 # min/max spread so a contended/cold tunnel shows up as spread instead of
 # silently skewing the number of record.
+#
+# Window length matters on the remote-compile tunnel: every trial's final
+# blocking fetch costs one tunnel round trip (measured ~30 ms median, see
+# tunnel_rtt_ms in the output). A 60-step window inflates the per-step time
+# by ~50%; 1000-step windows amortize the RTT below 5% and measure the
+# SUSTAINED rate — the quantity training actually sees (its dispatch queue
+# stays full for minutes at a time).
 TRIALS = int(os.environ.get("BENCH_TRIALS", 7))
-MEASURE_ROUNDS = 3
-STEPS_PER_ROUND = 20
+MEASURE_ROUNDS = 10
+STEPS_PER_ROUND = 100
 
 
 def _median_spread(samples):
     s = sorted(samples)
     return s[len(s) // 2], s[0], s[-1]
+
+
+def _tunnel_rtt_ms():
+    """Median dispatch+scalar-fetch round trip of a trivial op — the fixed
+    per-window cost every timed trial pays once."""
+    x = jnp.ones((8, 8))
+    f = jax.jit(lambda v: v + 1).lower(x).compile()
+    y = f(x)
+    _ = float(y[0, 0])
+    ts = []
+    for _ in range(11):
+        t0 = time.perf_counter()
+        y = f(x)
+        _ = float(y[0, 0])
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return sorted(ts)[len(ts) // 2]
 
 # v5e public peaks (jax-ml.github.io/scaling-book: TPU v5e chip)
 V5E_HBM_BYTES_PER_S = 8.19e11
@@ -155,7 +178,7 @@ def _bench_ppo():
     for _ in range(2):  # compile + warm
         ts, m = step(cfg, env.static, env.params, ts)
         _ = float(m["info/kl"])
-    rounds = 5
+    rounds = 10  # ~0.6 s windows amortize the ~30 ms tunnel RTT below 5%
     trial_s = []
     for _ in range(TRIALS):
         t0 = time.perf_counter()
@@ -183,6 +206,7 @@ def _bench_ppo():
 
 
 def main():
+    rtt_ms = _tunnel_rtt_ms()
     (train_sps, lo, hi), flops_step, bytes_step = _bench_env(substeps=4)
     out = {
         "metric": "env_steps_per_sec",
@@ -194,6 +218,7 @@ def main():
         "trials": TRIALS,
         "spread_min": round(lo, 1),
         "spread_max": round(hi, 1),
+        "tunnel_rtt_ms": round(rtt_ms, 1),
     }
     # the substeps=2 comparison costs a second full-env XLA compile through
     # the (erratic) remote tunnel; BENCH_SKIP_LIGHT=1 skips it when only the

@@ -46,11 +46,12 @@ _TILE_FLOOR = 1024
 # of the native (8, 128) f32 vregs; "1d" keeps (tile,) rows. Pure relabeling
 # of the env axis — bit-identical results (equivalence tests cover both;
 # on-chip max_abs_diff was exactly 0.0, scripts/probe_layout.py). Round-4
-# on-chip sweep (v5e, 8192 envs, substeps=4, TGS): at TILE=2048 2d is 2.9%
-# faster (0.583 vs 0.600 ms/step); at TILE=1024 it is 1% slower — Mosaic
-# already packs the 1d rows across sublanes, so the big occupancy win the
-# layout was designed for does not materialize, but 2d wins at the shipped
-# tile and ships as the default (RESULTS.md).
+# on-chip sweep with RTT-amortized 1000-step windows (v5e, 8192 envs,
+# substeps=4, TGS): 2d and 1d are within noise of each other at both tiles
+# (0.3565 vs 0.3572 ms at TILE=2048) — Mosaic already packs the 1d rows
+# across sublanes, so the 8x occupancy win the layout was designed for does
+# not materialize. 2d ships as the default (marginally ahead at the shipped
+# tile); the negative result is recorded in RESULTS.md.
 LAYOUT = os.environ.get("LEIBNIZ_PALLAS_LAYOUT", "2d")
 SUBLANES = 8
 

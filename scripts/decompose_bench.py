@@ -27,7 +27,9 @@ import jax
 import jax.numpy as jnp
 
 
-def _time_scan(fn, carry, rounds=5, length=20):
+def _time_scan(fn, carry, rounds=10, length=100):
+    # long windows: each timed window pays ONE blocking tunnel round trip
+    # (~26 ms measured); 1000 steps amortize it below 5% (bench.py)
     compiled = jax.jit(
         lambda c: jax.lax.scan(lambda cc, _: (fn(cc), None), c, None,
                                length=length)[0]

@@ -85,7 +85,10 @@ def main(argv=None):
             solve_times.extend(goal_age[succ].tolist())
             total_successes += int(succ.sum())
             goal_age[succ] = 0
-        # an episode reset scraps the goal in progress (censored sample)
+        # an episode reset scraps the goal in progress (censored sample):
+        # record (age, residual pos err, residual ori err) per goal so the
+        # censoring-corrected analysis below can separate "never given a
+        # fair chance" from genuine failures, with a failure-mode breakdown
         cens = ep_reset & ~succ
         if cens.any():
             censored.extend(goal_age[cens].tolist())
@@ -136,6 +139,44 @@ def main(argv=None):
             if ori_dists_unsolved else None
         ),
     }
+    # Censoring-corrected solve rate (VERDICT r3 weak-#5): the raw rate
+    # counts goals the episode timeout scrapped moments after they were
+    # issued as failures. Corrected denominator = solved goals + censored
+    # goals that HAD at least p90-solve-time steps before the cutoff; a
+    # censored goal younger than that was never given a fair chance.
+    if len(st) and censored:
+        p90 = float(np.percentile(st, 90))
+        ages = np.asarray(censored, dtype=float)
+        pos_e = np.asarray(pos_dists_unsolved)
+        ori_e = np.asarray(ori_dists_unsolved)
+        fair = ages >= p90
+        out["censoring_corrected"] = {
+            "p90_solve_time_steps": p90,
+            "censored_goals": int(len(ages)),
+            "censored_with_fair_chance": int(fair.sum()),
+            "corrected_solve_rate": round(
+                total_successes / (total_successes + int(fair.sum())), 4
+            ),
+        }
+        # failure-mode histogram of the fair-chance unsolved goals against
+        # the STRICT final tolerances the curriculum ends at
+        pos_tol = float(static.position_tolerance)
+        ori_tol = float(static.orientation_tolerance)
+        pf, of = pos_e[fair] > pos_tol, ori_e[fair] > ori_tol
+        out["censoring_corrected"]["failure_modes"] = {
+            "pos_tolerance_m": pos_tol,
+            "ori_tolerance_rad": ori_tol,
+            "ori_only": int((~pf & of).sum()),
+            "pos_only": int((pf & ~of).sum()),
+            "both": int((pf & of).sum()),
+            "neither_at_cutoff": int((~pf & ~of).sum()),
+            "fair_unsolved_pos_err_median_m": (
+                round(float(np.median(pos_e[fair])), 4) if fair.any() else None
+            ),
+            "fair_unsolved_ori_err_median_rad": (
+                round(float(np.median(ori_e[fair])), 4) if fair.any() else None
+            ),
+        }
     print(json.dumps(out, indent=2))
     if args.json_out:
         with open(args.json_out, "w") as f:

@@ -37,8 +37,10 @@ def main():
     ap.add_argument("--substeps", type=int, default=4)
     ap.add_argument("--tiles", type=int, nargs="+", default=[2048])
     ap.add_argument("--layouts", nargs="+", default=["1d", "2d"])
-    ap.add_argument("--rounds", type=int, default=5)
-    ap.add_argument("--length", type=int, default=20)
+    # long windows: each timed window pays ONE blocking tunnel round trip
+    # (~26 ms measured); 1000 steps amortize it below 5% (bench.py)
+    ap.add_argument("--rounds", type=int, default=10)
+    ap.add_argument("--length", type=int, default=100)
     args = ap.parse_args()
     n = args.num_envs
 
