@@ -99,8 +99,9 @@ def _bench_env(substeps: int):
     @jax.jit
     def rollout_chunk(state, key):
         # actions for the whole chunk in ONE draw: same workload (a fresh
-        # random torque every step), without paying 20 sequential per-step
-        # split+sample kernel launches that belong to the harness, not the env
+        # random torque every step), without paying STEPS_PER_ROUND
+        # sequential per-step split+sample launches that belong to the
+        # harness, not the env
         key, k = jax.random.split(key)
         actions = jax.random.uniform(
             k, (STEPS_PER_ROUND, NUM_ENVS, static.action_dim),

@@ -460,11 +460,24 @@ def _scene_with_arena(scene: SceneParams, arena: dict) -> SceneParams:
     dr/dz=0.577 above — scripts/asset_tools.py deviation, PARITY.md);
     explicit ``wall_radius`` / ``wall_slope`` / ``wall_knee_z`` keys
     override individual values. Default = the round-1..3 straight cylinder."""
-    if str(arena.get("profile", "")) == "cone":
+    known = {"profile", "wall_radius", "wall_slope", "wall_knee_z"}
+    unknown = set(arena) - known
+    if unknown:
+        # a typo'd key silently training against the wrong arena would be
+        # an invisible experiment-invalidating misconfiguration
+        raise ValueError(
+            f"unknown arena config key(s) {sorted(unknown)}; valid: {sorted(known)}"
+        )
+    profile = str(arena.get("profile", "cylinder"))
+    if profile == "cone":
         scene = scene.replace(
             wall_radius=jnp.asarray(tf_model.WALL_CONE_BASE_RADIUS),
             wall_slope=jnp.asarray(tf_model.WALL_CONE_SLOPE),
             wall_knee_z=jnp.asarray(tf_model.WALL_CONE_KNEE_Z),
+        )
+    elif profile != "cylinder":
+        raise ValueError(
+            f"unknown arena.profile {profile!r}; valid: 'cylinder', 'cone'"
         )
     for key in ("wall_radius", "wall_slope", "wall_knee_z"):
         if key in arena:

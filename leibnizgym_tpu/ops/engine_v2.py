@@ -292,7 +292,14 @@ def _wall_gap_s(px, py, pz, params):
     gap = wall_radius - rho, normal radial). Above the knee the surface is
     rho = wall_radius + slope*(z - knee); its inward normal is
     (-rho_hat + slope*z_hat)/sqrt(1+slope^2) and the perpendicular distance
-    picks up the same 1/sqrt(1+slope^2) factor."""
+    picks up the same 1/sqrt(1+slope^2) factor.
+
+    At z = knee the normal tilts and the gap rescales by 1/sqrt(1+s^2) in
+    one step — the same crease a facet-based collider (PhysX on the real
+    convex decomposition) sees at the physical cylinder-cone edge. The
+    speculative-contact targets and impulse clamping bound the resulting
+    one-substep depth jump; contacts RIDING the crease band see facet
+    flicker exactly as they would against the reference mesh."""
     rho = jnp.sqrt(jnp.maximum(px * px + py * py, 1e-18))
     inv_rho = 1.0 / rho
     z_over = jnp.maximum(pz - params.wall_knee_z, 0.0)

@@ -13,7 +13,7 @@ function never notices. Numerical equivalence is enforced by tests.
 
 Data layout: component-major (C, N) f32 arrays
   state  (31, N): q(9) | qd(9) | cube_pos(3) | cube_quat(4) | v(3) | w(3)
-  params (32, N): see _PARAM_FIELDS
+  params (PARAM_ROWS, N): see _PARAM_FIELDS (one row per scalar component)
   tau    (9, N); outputs: state' (31, N), tip wrench impulses (18, N)
 """
 

@@ -80,16 +80,20 @@ def _bench_ppo_decomposition(n: int, out: dict):
             key, k = jax.random.split(key)
             mu, log_std, _ = actor_critic.apply(ts.ac_params, obs)
             action = mu + jnp.exp(log_std) * jax.random.normal(k, mu.shape)
-            _ = gaussian_neglogp(mu, log_std, action)
-            _v = central_value.apply(ts.cv_params, states)
+            neglogp = gaussian_neglogp(mu, log_std, action)
+            v = central_value.apply(ts.cv_params, states)
             env_state, obs, states, reward, done, info = env_step(
                 static, params, env_state, jnp.clip(action, -1, 1)
             )
-            return (env_state, jnp.clip(obs, -5, 5), states, key), reward[0]
+            # the cv value and neglogp must reach the scan OUTPUT or XLA
+            # dead-code-eliminates them and the "rollout" under-measures
+            # the path train_iteration actually runs
+            out = reward[0] + v[0] + neglogp[0]
+            return (env_state, jnp.clip(obs, -5, 5), states, key), out
 
         carry, r = jax.lax.scan(
             body, (env_state, obs, states, key), None, length=h)
-        return carry[1], r
+        return carry[1] + r[-1, None], r
 
     f_roll = jax.jit(rollout_only)
     o, r = f_roll(ts.env_state, ts.obs, ts.states, ts.key)

@@ -67,7 +67,16 @@ def record_rollout(env: TrifingerEnv, num_steps: int, checkpoint: str | None,
 
         policy = policy_fn
 
-    obs = env.reset()
+    # frame stacking parity: a checkpoint trained with frames>1 expects
+    # stacked obs — roll the same wrapper the play/eval paths use
+    if policy is not None and ppo_cfg is not None and ppo_cfg.frames > 1:
+        from leibnizgym_tpu.wrappers import FrameStack, VecTaskPython
+
+        stacked_env = FrameStack(VecTaskPython(env), ppo_cfg.frames,
+                                 flatten=True)
+    else:
+        stacked_env = env
+    obs = stacked_env.reset()
     key = jax.random.PRNGKey(0)
     frames = []
     for _ in range(num_steps):
@@ -78,7 +87,7 @@ def record_rollout(env: TrifingerEnv, num_steps: int, checkpoint: str | None,
             action = jax.random.uniform(
                 k, (env.num_instances, env.get_action_dim()), minval=-1, maxval=1
             )
-        obs, _, _, _ = env.step(action)
+        obs, _, _, _ = stacked_env.step(action)
         st = env.state
         tips, _, _ = all_tips_world(st.physics.q[env_index])
         frames.append(

