@@ -44,10 +44,15 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--stochastic", action="store_true")
     p.add_argument("--json_out", default=None)
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   help="extra key=value config overrides (same surface as "
+                        "scripts/train.py); must match how the checkpoint "
+                        "was trained, e.g. --set gym.arena.profile=cone")
     args = p.parse_args(argv)
 
     cfg = update_cfg(parse_cli([
         f"gym={args.gym}", f"args.num_envs={args.num_envs}", "args.play=True",
+        *args.overrides,
     ]))
     runner = Runner(cfg["gym"], cfg["rlg"]["params"], logdir="/tmp/eval_logs",
                     seed=args.seed, verbose=False)
