@@ -68,7 +68,7 @@ def _tunnel_rtt_ms():
         y = f(x)
         _ = float(y[0, 0])
         ts.append((time.perf_counter() - t0) * 1e3)
-    return sorted(ts)[len(ts) // 2]
+    return _median_spread(ts)[0]
 
 # v5e public peaks (jax-ml.github.io/scaling-book: TPU v5e chip)
 V5E_HBM_BYTES_PER_S = 8.19e11

@@ -515,12 +515,11 @@ class Runner:
         FrameStack when ``frames > 1`` (reference rlg_train.py:83-86). The
         learner rolls the stack inside its jitted rollout; external step
         loops (play/eval/replay) get the equivalent via the wrapper."""
-        env = env if env is not None else self.env
-        if self.ppo_cfg.frames > 1:
-            from leibnizgym_tpu.wrappers import FrameStack
+        from leibnizgym_tpu.wrappers import stack_if_frames
 
-            env = FrameStack(env, self.ppo_cfg.frames, flatten=True)
-        return env
+        return stack_if_frames(
+            env if env is not None else self.env, self.ppo_cfg.frames
+        )
 
     def play(self, checkpoint: Optional[str] = None, num_steps: int = 1000,
              deterministic: bool = True,

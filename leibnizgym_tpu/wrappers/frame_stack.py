@@ -56,3 +56,11 @@ class FrameStack:
 
     def __getattr__(self, name):
         return getattr(self.env, name)
+
+
+def stack_if_frames(env, frames: int):
+    """Apply FrameStack when a policy was trained with ``frames > 1``
+    (reference rlg_train.py:83-86) — the single inference-side hook shared
+    by Runner.play/eval and the replay viewer. The jitted learner rolls the
+    equivalent stack inside its rollout scan (ppo.PPOConfig.frames)."""
+    return FrameStack(env, frames, flatten=True) if frames > 1 else env

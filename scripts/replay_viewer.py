@@ -69,13 +69,11 @@ def record_rollout(env: TrifingerEnv, num_steps: int, checkpoint: str | None,
 
     # frame stacking parity: a checkpoint trained with frames>1 expects
     # stacked obs — roll the same wrapper the play/eval paths use
-    if policy is not None and ppo_cfg is not None and ppo_cfg.frames > 1:
-        from leibnizgym_tpu.wrappers import FrameStack, VecTaskPython
+    from leibnizgym_tpu.wrappers import stack_if_frames
 
-        stacked_env = FrameStack(VecTaskPython(env), ppo_cfg.frames,
-                                 flatten=True)
-    else:
-        stacked_env = env
+    stacked_env = stack_if_frames(
+        env, ppo_cfg.frames if (policy is not None and ppo_cfg) else 1
+    )
     obs = stacked_env.reset()
     key = jax.random.PRNGKey(0)
     frames = []
