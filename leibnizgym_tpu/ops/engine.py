@@ -176,12 +176,15 @@ def _substep(state: PhysicsState, tau: jax.Array, params: SceneParams,
     if sphere_obj:
         a_pts = (state.cube_pos - ground_n * radius_o)[None]  # (1, 3)
         if cfg.enable_cube_wall:
-            rho_c = jnp.linalg.norm(state.cube_pos[0:2])
-            outward = state.cube_pos[0:2] / jnp.maximum(rho_c, 1e-9)
-            b_pts = (state.cube_pos + jnp.concatenate(
-                [outward * radius_o, jnp.zeros(1)]
-            ))[None]
+            # Contact point ALONG the contact normal (center - n*radius) so
+            # the normal impulse passes through the sphere center (r x n = 0):
+            # with the cone profile the normal tilts above the knee, and a
+            # horizontally-offset point would give a pure normal impulse a
+            # spurious lever arm that spins a frictionless sphere. Below the
+            # knee n is horizontal, so this reduces to the old
+            # center + outward*radius point exactly.
             gap_c, b_n = wall_gap(state.cube_pos[None])
+            b_pts = (state.cube_pos - b_n[0] * radius_o)[None]
             b_depth = radius_o - gap_c
     else:
         corners_w = state.cube_pos + jnp.einsum(

@@ -398,12 +398,17 @@ def _substep_fields(state, tau, params, cfg: SolverConfig, h: float):
         a_points = [(pos[0], pos[1], pos[2] - radius_o)]
         b_points, b_geoms = [], []
         if cfg.enable_cube_wall:
-            rho_c = jnp.sqrt(jnp.maximum(pos[0] ** 2 + pos[1] ** 2, 1e-18))
-            inv_rho_c = 1.0 / jnp.maximum(rho_c, 1e-9)
-            out_x, out_y = pos[0] * inv_rho_c, pos[1] * inv_rho_c
             gap_c, n_c = _wall_gap_s(pos[0], pos[1], pos[2], params)
+            # contact point along the contact normal (center - n*radius) so
+            # the normal impulse has no lever arm about the sphere center —
+            # mirrors engine.py (cone-profile normals tilt above the knee;
+            # below the knee this equals the old center + outward*radius)
             b_points = [
-                (pos[0] + out_x * radius_o, pos[1] + out_y * radius_o, pos[2])
+                (
+                    pos[0] - n_c[0] * radius_o,
+                    pos[1] - n_c[1] * radius_o,
+                    pos[2] - n_c[2] * radius_o,
+                )
             ]
             b_geoms = [  # (depth, n): sphere vs wall surface
                 (radius_o - gap_c, n_c)

@@ -60,6 +60,35 @@ def record_rollout(env: TrifingerEnv, num_steps: int, checkpoint: str | None,
         restored = ckptr.restore(path, template)
         ac_params = jax.tree.map(jnp.asarray, restored["ac_params"])
 
+        # detect an obs-width mismatch up front (e.g. a checkpoint trained
+        # with frame stacking replayed without --gym, so frames defaults
+        # to 1) instead of failing deep inside flax apply with an opaque
+        # kernel-shape error
+        ckpt_in = int(ac_params["params"]["actor_0"]["kernel"].shape[0])
+        frames_n = cfg.frames  # PPOConfig() default is frames=1
+        feed_in = env.static.obs_dim * frames_n
+        if ckpt_in != feed_in:
+            if ckpt_in % env.static.obs_dim == 0:
+                want = ckpt_in // env.static.obs_dim
+                hint = (
+                    f" The checkpoint expects frames={want} "
+                    f"(rlg.params.config.frames) — pass --gym <preset> so the "
+                    f"training preset's frame stacking (and obs layout) is "
+                    f"reconstructed."
+                )
+            else:
+                hint = (
+                    " Pass --gym <preset> matching the training run so the "
+                    "obs layout (e.g. keypoint obs) and frame stacking are "
+                    "reconstructed."
+                )
+            raise SystemExit(
+                f"checkpoint/network mismatch: the restored actor consumes "
+                f"{ckpt_in}-dim observations but the env would feed "
+                f"{feed_in} (obs_dim {env.static.obs_dim} x frames "
+                f"{frames_n}).{hint}"
+            )
+
         @jax.jit
         def policy_fn(obs):
             mu, _, _ = actor_critic.apply(ac_params, obs)

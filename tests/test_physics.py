@@ -685,6 +685,62 @@ class TestPallasEngine:
         assert float(jnp.abs(ref[1] - two[1]).max()) == 0.0
 
 
+def test_sphere_cone_wall_no_spurious_spin():
+    """Frictionless sphere pressed into the cone wall ABOVE the knee must not
+    spin: the contact point lies along the contact normal (center - n*radius),
+    so a pure normal impulse has zero lever arm about the sphere center.
+    Regression for the round-4 advisor finding (the old horizontally-offset
+    point gave the tilted cone normal a spurious r x n torque). Checked in
+    BOTH the oracle and SoA engines — a shared error would evade the
+    cross-engine equivalence suite."""
+    from leibnizgym_tpu.ops.engine_v2 import physics_step_v2
+
+    cfg = SolverConfig(substeps=2, solver_iterations=8, object_shape=1)
+    base = SceneParams.default(object_shape="sphere").replace(
+        wall_radius=jnp.asarray(tf_model.WALL_CONE_BASE_RADIUS),
+        wall_slope=jnp.asarray(tf_model.WALL_CONE_SLOPE),
+        wall_knee_z=jnp.asarray(tf_model.WALL_CONE_KNEE_Z),
+        gravity=jnp.zeros(3),
+        mu_cube_wall=jnp.zeros(()),
+        mu_cube_ground=jnp.zeros(()),
+        mu_torsion=jnp.zeros(()),
+    )
+    n = 1
+    params = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n,) + jnp.shape(x)), base
+    )
+    radius = float(base.cube_half_extents[0])
+    z = 0.15  # well above the knee (0.034): the cone normal is tilted here
+    r_eff = (
+        float(base.wall_radius)
+        + float(base.wall_slope) * (z - float(base.wall_knee_z))
+    )
+    inv_len = 1.0 / np.sqrt(1.0 + float(base.wall_slope) ** 2)
+    # center placed so the perpendicular gap is radius - 5 mm (penetrating)
+    rho = r_eff - (radius - 0.005) / inv_len
+    state = PhysicsState.default((n,)).replace(
+        q=jnp.asarray(np.tile(tf_model.JOINT_POS_DEFAULT, (n, 3)), jnp.float32),
+        cube_pos=jnp.asarray([[rho, 0.0, z]], jnp.float32),
+        cube_linvel=jnp.asarray([[0.5, 0.0, 0.0]], jnp.float32),
+    )
+    tau = jnp.zeros((n, 9))
+    f_o = jax.jit(jax.vmap(lambda s, t, p: physics_step(s, t, p, cfg, 0.02)))
+    f_s = jax.jit(jax.vmap(lambda s, t, p: physics_step_v2(s, t, p, cfg, 0.02)))
+    s_o, s_s = state, state
+    for _ in range(10):
+        s_o, _ = f_o(s_o, tau, params)
+        s_s, _ = f_s(s_s, tau, params)
+    for s in (s_o, s_s):
+        # the tilted wall normal engaged: outward motion largely arrested,
+        # tangential slide redirected up the frictionless flare ...
+        assert float(s.cube_linvel[0, 0]) < 0.3
+        assert float(s.cube_linvel[0, 2]) > 0.01
+        # ... without inducing any spin on the frictionless sphere.
+        # Residual is f32 roundoff on the contact point (~2e-5 rad/s);
+        # the pre-fix lever arm (r x n ~ 0.019 m) spun it at ~10 rad/s.
+        assert float(jnp.abs(s.cube_angvel).max()) < 1e-3
+
+
 @pytest.mark.slow  # full-env XLA compile
 class TestConeWall:
     """Piecewise cylinder+cone arena wall (SceneParams.wall_slope /
