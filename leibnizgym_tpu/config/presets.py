@@ -231,6 +231,15 @@ GYM_PRESETS: Dict[str, Dict[str, Any]] = {
             "domain_randomization": _D3_DR_EXTRA["domain_randomization"],
         })
     ),
+    # RRC phase-3 cuboid object (reference asset
+    # objects/urdf/cube_multicolor_rrc_phase3.urdf: 2x8x2 cm box,
+    # density 500) on the difficulty-1 task — exercises the per-axis
+    # object_size path (env.py cuboid support)
+    "trifinger_difficulty_1_phase3": _difficulty(1, {
+        "object_type": "cube",
+        "object_size": [0.02, 0.08, 0.02],
+        "object_density": 500.0,
+    }),
 }
 
 # ---------------------------------------------------------------------------

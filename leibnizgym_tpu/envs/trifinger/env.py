@@ -347,7 +347,8 @@ def build_static(config: dict) -> EnvStatic:
 
 
 def build_params(static: EnvStatic, object_dims: CuboidalObject,
-                 arena: Optional[dict] = None) -> EnvParams:
+                 arena: Optional[dict] = None,
+                 object_density: Optional[float] = None) -> EnvParams:
     """Assemble scale vectors exactly as __configure_mdp_spaces
     (reference trifinger_env.py:630-748)."""
     jpos_low = np.tile(tf_model.JOINT_POS_LOW, 3)
@@ -444,6 +445,7 @@ def build_params(static: EnvStatic, object_dims: CuboidalObject,
         scene_base=_scene_with_arena(
             SceneParams.default(
                 object_size=object_dims.size,
+                object_density=object_density,
                 object_shape="sphere" if static.solver.object_shape == 1 else "box",
             ),
             arena or {},
@@ -1201,8 +1203,10 @@ class TrifingerEnv(EnvBase):
             else tuple(float(s) for s in object_size)
         )
         self.static = build_static(merged)
+        density = merged.get("object_density")
         self.params = build_params(
-            self.static, self._object_dims, arena=merged.get("arena")
+            self.static, self._object_dims, arena=merged.get("arena"),
+            object_density=None if density is None else float(density),
         )
 
         obs_spec = {

@@ -73,9 +73,11 @@ def run_training(
     return runner.play(num_steps=play_steps)
 
 
-def make_train_step_for_dryrun(mesh, env):
+def make_train_step_for_dryrun(mesh, env, frames: int = 1):
     """Build a sharded single-train-step callable for the driver's
-    multi-chip dry run (tiny shapes, full tp/dp sharding path)."""
+    multi-chip dry run (tiny shapes, full tp/dp sharding path).
+    ``frames`` > 1 exercises the in-scan frame-stacking path of the
+    flagship recipe."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from leibnizgym_tpu.learning.ppo import (
@@ -92,6 +94,7 @@ def make_train_step_for_dryrun(mesh, env):
         mini_epochs=2,
         cv_minibatch_size=max(n * 4 // 4, 1),
         cv_mini_epochs=2,
+        frames=frames,
     )
     ts = init_train_state(cfg, env.static, env.params, jax.random.PRNGKey(0))
     ts = ts.replace(

@@ -61,3 +61,26 @@ def run_dryrun(n_devices: int) -> None:
     carry = train_step(carry)
     jax.block_until_ready(carry)
     print(f"[dryrun] sharded PPO train step OK on {n_devices} devices")
+
+    # The shipped FLAGSHIP recipe — difficulty-4 curriculum + full domain
+    # randomization + measured cone arena + frames=2 stacking — under the
+    # same mesh, so config-surface growth cannot silently break sharding
+    # (VERDICT r4 item 9).
+    from leibnizgym_tpu.config.presets import parse_cli, update_cfg
+
+    cfg_all = update_cfg(parse_cli([
+        "gym=trifinger_difficulty_4_curriculum_dr",
+        f"args.num_envs={n}",
+    ]))
+    gym_cfg = dict(cfg_all["gym"])
+    gym_cfg["arena"] = {"profile": "cone"}
+    gym_cfg["sim"] = dict(gym_cfg.get("sim") or {})
+    gym_cfg["sim"]["substeps"] = 2  # tiny shapes; sharding path is identical
+    flagship = TrifingerEnv(config=gym_cfg, verbose=False)
+    train_step2, carry2 = make_train_step_for_dryrun(mesh, flagship, frames=2)
+    carry2 = train_step2(carry2)
+    jax.block_until_ready(carry2)
+    print(
+        f"[dryrun] sharded FLAGSHIP train step (cone+DR+frames=2) OK on "
+        f"{n_devices} devices"
+    )

@@ -54,14 +54,21 @@ OBJECTS = [
     ("cube_goal_multicolor.urdf", "box", 0.05, ("density", 567.0)),
     ("cube_multicolor.urdf", "box", 0.065, ("density", 291.3)),
     ("ball.urdf", "sphere", 0.0375, ("mass", 0.25)),
+    # RRC phase-3 cuboid: 2x8x2 cm box, density 500
+    # (reference objects/urdf/cube_multicolor_rrc_phase3.urdf:1-20)
+    ("cube_multicolor_rrc_phase3.urdf", "box", (0.02, 0.08, 0.02),
+     ("density", 500.0)),
 ]
 
 
-def write_object_urdf(path: str, kind: str, size: float, massing) -> None:
+def write_object_urdf(path: str, kind: str, size, massing) -> None:
+    """``size``: box edge (scalar) / per-axis (sx, sy, sz) tuple / sphere
+    radius."""
     name = os.path.splitext(os.path.basename(path))[0]
     if kind == "box":
-        geom = f'<box size="{size} {size} {size}"/>'
-        volume = size ** 3
+        sx, sy, sz = size if isinstance(size, (tuple, list)) else (size,) * 3
+        geom = f'<box size="{sx} {sy} {sz}"/>'
+        volume = sx * sy * sz
     else:
         geom = f'<sphere radius="{size}"/>'
         volume = 4.0 / 3.0 * 3.141592653589793 * size ** 3
@@ -69,8 +76,9 @@ def write_object_urdf(path: str, kind: str, size: float, massing) -> None:
     mass = value if how == "mass" else value * volume
     # solid uniform body inertia about COM
     if kind == "box":
-        i = mass * (size ** 2 + size ** 2) / 12.0
-        ixx = iyy = izz = i
+        ixx = mass * (sy ** 2 + sz ** 2) / 12.0
+        iyy = mass * (sx ** 2 + sz ** 2) / 12.0
+        izz = mass * (sx ** 2 + sy ** 2) / 12.0
     else:
         ixx = iyy = izz = 2.0 / 5.0 * mass * size ** 2
     density_el = (

@@ -181,6 +181,29 @@ class TestConfigurableObject:
         assert np.all(z < 0.02), "cuboid should rest near half-height"
         assert bool(jnp.isfinite(obs).all())
 
+    def test_phase3_preset(self):
+        """The trifinger_difficulty_1_phase3 preset builds the reference's
+        phase-3 cuboid (objects/urdf/cube_multicolor_rrc_phase3.urdf:
+        0.02x0.08x0.02 box, density 500) and simulates it to rest."""
+        from leibnizgym_tpu.config.presets import parse_cli, update_cfg
+
+        cfg = update_cfg(parse_cli(
+            ["gym=trifinger_difficulty_1_phase3", "args.num_envs=4"]
+        ))
+        gym_cfg = dict(cfg["gym"])
+        gym_cfg["sim"] = {"substeps": 2}
+        e = TrifingerEnv(config=gym_cfg, verbose=False)
+        e.reset()
+        he = np.asarray(e.state.scene.cube_half_extents[0])
+        assert np.allclose(he, [0.01, 0.04, 0.01], atol=1e-6)
+        # density 500 from the preset overrides the default cube density
+        assert abs(float(e.state.scene.cube_mass[0]) - 0.016) < 1e-6
+        for _ in range(40):
+            obs, *_ = e.step(jnp.zeros((4, 9)))
+        z = np.asarray(e.state.physics.cube_pos[:, 2])
+        assert np.all(z < 0.015), "phase-3 cuboid should rest near z=0.01"
+        assert bool(jnp.isfinite(obs).all())
+
 
 class TestSuccessTermination:
     def test_goal_reset_on_success(self):

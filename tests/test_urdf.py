@@ -86,6 +86,20 @@ def test_shipped_cube_urdf(lib_ok):
     assert np.allclose(cube.geom_size, [0.065] * 3)
 
 
+def test_shipped_phase3_cuboid_urdf(lib_ok):
+    """RRC phase-3 cuboid (reference objects/urdf/
+    cube_multicolor_rrc_phase3.urdf: 2x8x2 cm box, density 500)."""
+    m = urdf.parse_urdf(
+        os.path.join(_ASSETS, "objects", "cube_multicolor_rrc_phase3.urdf")
+    )
+    cuboid = m.links["object"]
+    assert cuboid.density == 500.0
+    assert cuboid.geom_type == 1
+    assert np.allclose(cuboid.geom_size, [0.02, 0.08, 0.02])
+    # density x volume
+    assert abs(cuboid.mass - 500.0 * 0.02 * 0.08 * 0.02) < 1e-9
+
+
 def test_shipped_ball_urdf(lib_ok):
     m = urdf.parse_urdf(os.path.join(_ASSETS, "objects", "ball.urdf"))
     ball = m.links["object"]
