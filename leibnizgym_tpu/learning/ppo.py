@@ -33,9 +33,13 @@ from leibnizgym_tpu.envs.trifinger.env import EnvParams, EnvState, EnvStatic, en
 from leibnizgym_tpu.models.networks import (
     ActorCritic,
     CentralValue,
+    fused_forward,
+    fused_log_std,
     gaussian_entropy,
     gaussian_kl,
     gaussian_neglogp,
+    stack_fused,
+    unstack_fused,
 )
 
 
@@ -92,6 +96,26 @@ class PPOConfig:
     # disables it (rl_games parity); the D4 presets use log(0.2) ~ -1.61 to
     # prevent the premature entropy collapse that kills orientation discovery
     log_std_min: float = -20.0
+    # Fused-tower update path (round-5 perf experiment): evaluate the actor /
+    # critic / central-value towers as ONE batched-matmul chain (inputs
+    # zero-padded to a lane multiple, towers stacked — models/networks.py
+    # stack_fused) and run the clip+Adam tail on the 9 stacked leaves
+    # instead of ~34 canonical ones. Mathematically equivalent to the
+    # unfused path up to f32 summation order (pinned by tests); checkpoints
+    # keep the canonical tree layout (stack/unstack at the epoch boundary).
+    # MEASURED SLOWER on v5e (60.8 ms epoch vs 56.6 unfused — the padded
+    # batched matmuls cost more than the per-op savings; RESULTS.md round
+    # 5), so the default stays off; kept as a tested opt-in ablation.
+    fused_update: bool = False
+    # Fuse the actor+cv towers of the ROLLOUT inference edge into one
+    # batched-matmul chain (independent of fused_update). Measured a small
+    # win on v5e (56.3 ms epoch vs 56.6; RESULTS.md round 5) — default on.
+    fused_rollout: bool = True
+    # lax.scan unroll factor for the minibatch-update scan: unrolling lets
+    # XLA software-pipeline consecutive updates and removes per-iteration
+    # while-loop overhead. Pure scheduling — identical math. Measured
+    # neutral at 2 and SLOWER at 4 on v5e (RESULTS.md round 5); default 1.
+    update_unroll: int = 1
     # emit per-stage finiteness flags + magnitudes (nan/* metrics) to locate
     # the first non-finite tensor in the rollout->GAE->update pipeline
     nan_telemetry: bool = False
@@ -144,6 +168,9 @@ class PPOConfig:
                 else "float32"
             ),
             frames=int(c.get("frames", 1)),
+            fused_update=bool(c.get("fused_update", False)),
+            fused_rollout=bool(c.get("fused_rollout", True)),
+            update_unroll=int(c.get("update_unroll", 1)),
             nan_telemetry=bool(c.get("nan_telemetry", False)),
             log_std_min=float(c.get("log_std_min", -20.0)),
             host_pipeline_depth=int(c.get("host_pipeline_depth", 4)),
@@ -197,6 +224,26 @@ def make_optimizers(cfg: PPOConfig):
 
 def _apply_lr(updates, lr):
     return jax.tree.map(lambda u: -lr * u, updates)
+
+
+# Adam constants of make_optimizers' scale_by_adam (optax defaults + the
+# explicit eps) — the fused-tower path reimplements the identical math on
+# stacked leaves, so these must stay in sync with make_optimizers.
+_ADAM_B1, _ADAM_B2, _ADAM_EPS = 0.9, 0.999, 1e-8
+
+
+def _find_adam(opt_state):
+    """Locate the ScaleByAdamState inside an optax chain state tuple."""
+    for i, s in enumerate(opt_state):
+        if isinstance(s, optax.ScaleByAdamState):
+            return i, s
+    raise ValueError("optimizer state has no ScaleByAdamState")
+
+
+def _replace_adam(opt_state, slot, new_adam):
+    return tuple(
+        new_adam if i == slot else s for i, s in enumerate(opt_state)
+    )
 
 
 def init_train_state(
@@ -275,20 +322,42 @@ def train_iteration(
     n = static.num_envs
     h = cfg.horizon
     asym = central_value is not None
+    net_dtype = jnp.bfloat16 if cfg.network_dtype == "bfloat16" else jnp.float32
+    fuse_towers = cfg.fused_update and asym
+    obs_width = static.obs_dim * cfg.frames
+
+    if cfg.fused_rollout and asym:
+        # actor + central-value towers as one batched-matmul chain for the
+        # rollout inference edge (the critic tower is dead code here — the
+        # unfused path relied on XLA DCE for the same effect)
+        fp_roll = stack_fused(
+            ts.ac_params, ts.cv_params, obs_width, static.state_dim,
+            cfg.units, static.action_dim, towers=("actor", "cv"),
+        )
+
+        def policy_and_value(obs, states):
+            out = fused_forward(fp_roll, [obs, states], net_dtype)
+            mu = out[0]
+            log_std = fused_log_std(
+                fp_roll, mu, actor_critic.log_std_min, actor_critic.log_std_max
+            )
+            return mu, log_std, out[1][..., 0]
+    else:
+        def policy_and_value(obs, states):
+            mu, log_std, own_value = actor_critic.apply(ts.ac_params, obs)
+            if asym:
+                return mu, log_std, central_value.apply(ts.cv_params, states)
+            return mu, log_std, own_value
 
     # ---------------- rollout ------------------------------------------------
     def rollout_step(carry, _):
         (env_state, obs, states, ep_ret, ep_len, fin_ret, fin_n, fin_suc,
          key) = carry
         key, k_act = jax.random.split(key)
-        mu, log_std, _own_value = actor_critic.apply(ts.ac_params, obs)
+        mu, log_std, value = policy_and_value(obs, states)
         noise = jax.random.normal(k_act, mu.shape)
         action = mu + jnp.exp(log_std) * noise
         neglogp = gaussian_neglogp(mu, log_std, action)
-        if asym:
-            value = central_value.apply(ts.cv_params, states)
-        else:
-            value = _own_value
         clipped = jnp.clip(action, -cfg.clip_actions, cfg.clip_actions)
         env_state, next_obs, next_states, reward, done, info = env_step(
             static, env_params, env_state, clipped
@@ -337,10 +406,7 @@ def train_iteration(
     (b_obs, b_states, b_action, b_mu, b_log_std, b_neglogp, b_value, b_reward,
      b_done, infos) = traj
 
-    if asym:
-        last_value = central_value.apply(ts.cv_params, last_states)
-    else:
-        _, _, last_value = actor_critic.apply(ts.ac_params, last_obs)
+    _, _, last_value = policy_and_value(last_obs, last_states)
 
     advs = _gae(cfg, b_reward, b_value, b_done, last_value)
     returns = advs + b_value
@@ -384,8 +450,10 @@ def train_iteration(
         )
         f_returns, f_advs = flat(returns), flat(advs)
 
-    def loss_fn(ac_params, mb, lr_unused):
-        mu, log_std, value = actor_critic.apply(ac_params, mb["obs"])
+    def _ac_loss_terms(mb, mu, log_std, value):
+        """PPO surrogate + critic + entropy + bounds terms on a minibatch,
+        given the network outputs — shared by the per-tower and fused-tower
+        update paths so the loss math cannot drift between them."""
         neglogp = gaussian_neglogp(mu, log_std, mb["action"])
         ratio = jnp.exp(mb["neglogp"] - neglogp)
         surr1 = -mb["advs"] * ratio
@@ -415,6 +483,10 @@ def train_iteration(
         )
         kl = gaussian_kl(mb["mu"], mb["log_std"], mu, log_std)
         return total, (a_loss, c_loss, entropy, b_loss, kl)
+
+    def loss_fn(ac_params, mb, lr_unused):
+        mu, log_std, value = actor_critic.apply(ac_params, mb["obs"])
+        return _ac_loss_terms(mb, mu, log_std, value)
 
     if time_sliced:
         # time-major (h, n, ...) exactly as the rollout scan emitted it
@@ -517,14 +589,147 @@ def train_iteration(
         return p, opt, loss
 
     ac_params, ac_opt_state, lr = ts.ac_params, ts.ac_opt_state, ts.lr
+    # Fused-tower path (cfg.fused_update): one batched-matmul fwd+bwd chain
+    # for all three towers per minibatch step and a stacked clip+Adam tail —
+    # requires the actor and cv minibatch schedules to line up exactly so
+    # their inputs stack (same row source, same count). nan_telemetry keeps
+    # the historical path so per-chain grad norms stay observable.
+    fused_towers_ok = (
+        fuse_towers
+        and not cfg.nan_telemetry
+        and cv_idxs is not None
+        and cv_idxs.shape == ac_idxs.shape
+    )
+    if fused_towers_ok:
+        sargs = (obs_width, static.state_dim, cfg.units, static.action_dim)
+        fp = stack_fused(ts.ac_params, ts.cv_params, *sargs)
+        ac_slot, ac_adam = _find_adam(ts.ac_opt_state)
+        cv_slot, cv_adam = _find_adam(ts.cv_opt_state)
+        mu_f = stack_fused(ac_adam.mu, cv_adam.mu, *sargs)
+        nu_f = stack_fused(ac_adam.nu, cv_adam.nu, *sargs)
+        b1, b2, eps = _ADAM_B1, _ADAM_B2, _ADAM_EPS
+        cv_lr = jnp.asarray(cfg.cv_learning_rate, jnp.float32)
+
+        def fused_loss(fp_, ac_mb, cv_s, cv_r):
+            out = fused_forward(
+                fp_, [ac_mb["obs"], ac_mb["obs"], cv_s], net_dtype
+            )
+            mu = out[0]
+            value = out[1][..., 0]
+            v_cv = out[2][..., 0]
+            log_std = fused_log_std(
+                fp_, mu, actor_critic.log_std_min, actor_critic.log_std_max
+            )
+            ac_total, aux = _ac_loss_terms(ac_mb, mu, log_std, value)
+            cv_l = jnp.mean(jnp.square(v_cv - cv_r))
+            # disjoint param columns: grads of the sum == separate grads
+            return ac_total + cv_l, (ac_total, aux, cv_l)
+
+        def fused_sgd(fp_, mu_f_, nu_f_, c_ac, c_cv, lr_, grads):
+            """clip_by_global_norm + scale_by_adam + (-lr) on stacked leaves,
+            per optimizer group (ac = tower entries 0,1 + log_std; cv = 2).
+            Padded kernel regions carry exactly-zero gradients, so the group
+            norms and moments equal their canonical-tree counterparts."""
+            ac_sq = jnp.sum(jnp.square(grads["log_std"]))
+            cv_sq = jnp.zeros(())
+            for k_ in grads:
+                if k_ == "log_std":
+                    continue
+                g = grads[k_]
+                ac_sq = ac_sq + jnp.sum(jnp.square(g[0:2]))
+                cv_sq = cv_sq + jnp.sum(jnp.square(g[2]))
+            ac_norm, cv_norm = jnp.sqrt(ac_sq), jnp.sqrt(cv_sq)
+            if cfg.truncate_grads:
+                s_ac = jnp.where(
+                    ac_norm < cfg.grad_norm, 1.0, cfg.grad_norm / ac_norm
+                )
+                s_cv = jnp.where(
+                    cv_norm < cfg.grad_norm, 1.0, cfg.grad_norm / cv_norm
+                )
+            else:
+                s_ac = s_cv = jnp.ones(())
+            c_ac = c_ac + 1
+            c_cv = c_cv + 1
+            bc1_ac = 1.0 - b1 ** c_ac.astype(jnp.float32)
+            bc2_ac = 1.0 - b2 ** c_ac.astype(jnp.float32)
+            bc1 = jnp.stack([bc1_ac, bc1_ac, 1.0 - b1 ** c_cv.astype(jnp.float32)])
+            bc2 = jnp.stack([bc2_ac, bc2_ac, 1.0 - b2 ** c_cv.astype(jnp.float32)])
+            scale3 = jnp.stack([s_ac, s_ac, s_cv])
+            lr3 = jnp.stack([lr_, lr_, cv_lr])
+            new_fp, new_mu, new_nu = {}, {}, {}
+            for k_, p in fp_.items():
+                g = grads[k_]
+                if k_ == "log_std":
+                    g = g * s_ac
+                    m = b1 * mu_f_[k_] + (1.0 - b1) * g
+                    v = b2 * nu_f_[k_] + (1.0 - b2) * jnp.square(g)
+                    upd = (m / bc1_ac) / (jnp.sqrt(v / bc2_ac) + eps)
+                    new_fp[k_] = p - lr_ * upd
+                else:
+                    sh = (3,) + (1,) * (g.ndim - 1)
+                    g = g * scale3.reshape(sh)
+                    m = b1 * mu_f_[k_] + (1.0 - b1) * g
+                    v = b2 * nu_f_[k_] + (1.0 - b2) * jnp.square(g)
+                    upd = (m / bc1.reshape(sh)) / (
+                        jnp.sqrt(v / bc2.reshape(sh)) + eps
+                    )
+                    new_fp[k_] = p - lr3.reshape(sh) * upd
+                new_mu[k_], new_nu[k_] = m, v
+            return new_fp, new_mu, new_nu, c_ac, c_cv
+
+        def fused_step(carry, xs):
+            fp_, mu_f_, nu_f_, c_ac, c_cv, lr_ = carry
+            ac_idx, cv_idx = xs
+            ac_mb = jax.tree.map(lambda x: jnp.take(x, ac_idx, axis=0), data)
+            cv_s = jnp.take(cv_data["s"], cv_idx, axis=0)
+            cv_r = jnp.take(cv_data["r"], cv_idx, axis=0)
+            (_, aux), grads = jax.value_and_grad(fused_loss, has_aux=True)(
+                fp_, ac_mb, cv_s, cv_r
+            )
+            ac_total, (a_loss, c_loss, entropy, b_loss, kl), cv_l = aux
+            fp_, mu_f_, nu_f_, c_ac, c_cv = fused_sgd(
+                fp_, mu_f_, nu_f_, c_ac, c_cv, lr_, grads
+            )
+            if cfg.lr_schedule == "adaptive":
+                lr_ = jnp.where(kl > 2.0 * cfg.kl_threshold,
+                                jnp.maximum(lr_ / 1.5, cfg.min_lr), lr_)
+                lr_ = jnp.where(kl < 0.5 * cfg.kl_threshold,
+                                jnp.minimum(lr_ * 1.5, cfg.max_lr), lr_)
+            mb_out = (ac_total, a_loss, c_loss, entropy, kl)
+            return (fp_, mu_f_, nu_f_, c_ac, c_cv, lr_), (mb_out, cv_l)
+
+        carry_f = (fp, mu_f, nu_f, ac_adam.count, cv_adam.count, lr)
+        carry_f, (ep_metrics, cv_losses) = jax.lax.scan(
+            fused_step, carry_f, (ac_idxs, cv_idxs),
+            unroll=cfg.update_unroll,
+        )
+        fp, mu_f, nu_f, c_ac, c_cv, lr = carry_f
+        cv_loss_mean = jnp.mean(cv_losses)
+        ac_params, cv_params = unstack_fused(fp, *sargs)
+        ac_mu, cv_mu = unstack_fused(mu_f, *sargs)
+        ac_nu, cv_nu = unstack_fused(nu_f, *sargs)
+        ac_opt_state = _replace_adam(
+            ts.ac_opt_state, ac_slot,
+            ac_adam._replace(count=c_ac, mu=ac_mu, nu=ac_nu),
+        )
+        cv_opt_state = _replace_adam(
+            ts.cv_opt_state, cv_slot,
+            cv_adam._replace(count=c_cv, mu=cv_mu, nu=cv_nu),
+        )
+
     # The actor and central-value SGD chains are data-independent of each
     # other (cv targets come from the pre-update rollout values). Running
     # both in ONE scan lets XLA overlap the two dependent chains inside each
     # iteration — the epoch is latency-bound on sequential small-matmul
     # updates (RESULTS.md), so halving the number of sequential scan steps
     # directly shortens the critical path.
-    fuse_cv = asym and cv_idxs.shape[0] == ac_idxs.shape[0]
-    if fuse_cv:
+    fuse_cv = (
+        not fused_towers_ok
+        and asym and cv_idxs.shape[0] == ac_idxs.shape[0]
+    )
+    if fused_towers_ok:
+        pass
+    elif fuse_cv:
         def fused_update(carry, xs):
             ac_p, ac_opt, lr, cv_p, cv_opt = carry
             ac_idx, cv_idx = xs
@@ -534,7 +739,8 @@ def train_iteration(
 
         carry_u = (ac_params, ac_opt_state, lr, cv_params, cv_opt_state)
         carry_u, (ep_metrics, cv_losses) = jax.lax.scan(
-            fused_update, carry_u, (ac_idxs, cv_idxs)
+            fused_update, carry_u, (ac_idxs, cv_idxs),
+            unroll=cfg.update_unroll,
         )
         ac_params, ac_opt_state, lr, cv_params, cv_opt_state = carry_u
         cv_loss_mean = jnp.mean(cv_losses)
@@ -545,7 +751,8 @@ def train_iteration(
             return (ac_p, ac_opt, lr), mb_out
 
         (ac_params, ac_opt_state, lr), ep_metrics = jax.lax.scan(
-            mb_update, (ac_params, ac_opt_state, lr), ac_idxs
+            mb_update, (ac_params, ac_opt_state, lr), ac_idxs,
+            unroll=cfg.update_unroll,
         )
         if asym:
             def cv_update(carry, idx):
@@ -554,7 +761,8 @@ def train_iteration(
                 return (p, opt), loss
 
             (cv_params, cv_opt_state), cv_losses = jax.lax.scan(
-                cv_update, (cv_params, cv_opt_state), cv_idxs
+                cv_update, (cv_params, cv_opt_state), cv_idxs,
+                unroll=cfg.update_unroll,
             )
             cv_loss_mean = jnp.mean(cv_losses)
 

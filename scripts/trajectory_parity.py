@@ -39,18 +39,24 @@ from leibnizgym_tpu.utils import print_info
 
 
 def dump(args):
-    env = TrifingerEnv(
-        config={
-            "num_instances": args.num_envs,
-            "task_difficulty": args.difficulty,
-            "command_mode": "torque",
-            "seed": args.seed,
-            "engine": args.engine,
-            "sim": {"substeps": args.substeps,
-                    "physx": {"num_position_iterations": args.iterations,
-                              "tpu_solver": args.solver}},
-        },
-        verbose=False,
+    config = {
+        "num_instances": args.num_envs,
+        "task_difficulty": args.difficulty,
+        "command_mode": "torque",
+        "seed": args.seed,
+        "engine": args.engine,
+        "sim": {"substeps": args.substeps,
+                "physx": {"num_position_iterations": args.iterations,
+                          "tpu_solver": args.solver}},
+    }
+    if args.arena:
+        config["arena"] = {"profile": args.arena}
+    env = TrifingerEnv(config=config, verbose=False)
+    # record the RESOLVED wall profile so dumps are self-describing and
+    # independent of the build's default (round-5 flip to the measured cone)
+    arena_profile = (
+        "cone" if float(env.params.scene_base.wall_slope) != 0.0
+        else "cylinder"
     )
     obs = env.reset()
     key = jax.random.PRNGKey(args.action_seed)
@@ -77,7 +83,7 @@ def dump(args):
         num_envs=args.num_envs, steps=args.steps, seed=args.seed,
         action_seed=args.action_seed, difficulty=args.difficulty,
         engine=args.engine, substeps=args.substeps, iterations=args.iterations,
-        solver=args.solver, framework="leibnizgym_tpu",
+        solver=args.solver, arena=arena_profile, framework="leibnizgym_tpu",
     )
     np.savez_compressed(args.out, meta=json.dumps(meta), **arrays)
     print_info(f"wrote {args.out}: "
@@ -130,6 +136,10 @@ def main():
                    help="tpu_solver mode recorded in the dump (tgs|pgs)")
     d.add_argument("--substeps", type=int, default=2)
     d.add_argument("--iterations", type=int, default=4)
+    d.add_argument("--arena", type=str, default=None,
+                   choices=("cylinder", "cone"),
+                   help="wall profile (default: the build default; the "
+                        "RESOLVED profile is recorded in the dump meta)")
     d.add_argument("--out", type=str, required=True)
     c = sub.add_parser("compare")
     c.add_argument("file_a")

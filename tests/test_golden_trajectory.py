@@ -23,11 +23,15 @@ import pytest
 # full-env XLA compiles / multi-process: full-suite only
 pytestmark = pytest.mark.slow
 
-_GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "traj_d1_seed0.npz")
+_GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
 
-def test_trajectory_matches_golden():
-    data = np.load(_GOLDEN, allow_pickle=True)
+@pytest.mark.parametrize("fname", ["traj_d1_seed0.npz", "traj_d1_seed0_cone.npz"])
+def test_trajectory_matches_golden(fname):
+    path = os.path.join(_GOLDEN_DIR, fname)
+    if not os.path.exists(path):
+        pytest.skip(f"golden {fname} not recorded")
+    data = np.load(path, allow_pickle=True)
     meta = json.loads(str(data["meta"]))
     env = TrifingerEnv(
         config={
@@ -36,6 +40,10 @@ def test_trajectory_matches_golden():
             "command_mode": "torque",
             "seed": meta["seed"],
             "engine": meta["engine"],
+            # dumps predating the arena field were recorded under the
+            # round-1..4 default cylinder; the profile is pinned explicitly
+            # so goldens are independent of the build default
+            "arena": {"profile": meta.get("arena", "cylinder")},
             "sim": {"substeps": meta["substeps"],
                     # dumps predating the solver field were recorded under
                     # the then-default velocity-level PGS

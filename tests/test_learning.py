@@ -313,3 +313,91 @@ class TestNetworks:
         assert mu.shape == (7, 9) and log_std.shape == (7, 9) and value.shape == (7,)
         # fixed sigma init 0 (const_initializer val 0)
         assert np.allclose(np.asarray(log_std), 0.0)
+
+    def test_fused_stack_roundtrip_and_apply(self):
+        """stack_fused/unstack_fused round-trip EXACTLY (checkpoint layout is
+        canonical) and the batched-matmul chain reproduces the module applies
+        to f32 summation order."""
+        from leibnizgym_tpu.models.networks import (
+            CentralValue, fused_forward, fused_log_std, stack_fused,
+            unstack_fused,
+        )
+
+        A, OBS, ST = 9, 41, 113
+        units = (400, 200, 100)
+        ac = ActorCritic(action_dim=A, units=units)
+        cv = CentralValue(units=units)
+        obs = jax.random.normal(jax.random.PRNGKey(1), (7, OBS))
+        states = jax.random.normal(jax.random.PRNGKey(2), (7, ST))
+        ap = ac.init(jax.random.PRNGKey(0), obs[:1])
+        cp = cv.init(jax.random.PRNGKey(0), states[:1])
+
+        f = stack_fused(ap, cp, OBS, ST, units, A)
+        # padded input width is a lane multiple covering both towers
+        assert f["k0"].shape == (3, 128, 400)
+        ap2, cp2 = unstack_fused(f, OBS, ST, units, A)
+        assert (jax.tree_util.tree_structure(ap)
+                == jax.tree_util.tree_structure(ap2))
+        for a, b in zip(jax.tree.leaves(ap), jax.tree.leaves(ap2)):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(cp), jax.tree.leaves(cp2)):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
+        mu0, ls0, v0 = ac.apply(ap, obs)
+        vcv0 = cv.apply(cp, states)
+        out = fused_forward(f, [obs, obs, states])
+        assert np.allclose(np.asarray(out[0]), np.asarray(mu0), atol=1e-5)
+        assert np.allclose(np.asarray(out[1][:, 0]), np.asarray(v0), atol=1e-5)
+        assert np.allclose(np.asarray(out[2][:, 0]), np.asarray(vcv0), atol=1e-5)
+        ls1 = fused_log_std(f, out[0], -20.0, 2.0)
+        assert np.array_equal(np.asarray(ls1), np.asarray(ls0))
+        # rollout variant: actor + cv towers only
+        f2 = stack_fused(ap, cp, OBS, ST, units, A, towers=("actor", "cv"))
+        o2 = fused_forward(f2, [obs, states])
+        assert np.allclose(np.asarray(o2[0]), np.asarray(mu0), atol=1e-5)
+        assert np.allclose(np.asarray(o2[1][:, 0]), np.asarray(vcv0), atol=1e-5)
+
+
+@pytest.mark.slow  # full-env XLA compile x2
+class TestFusedUpdatePath:
+    """cfg.fused_update (round-5 perf): the batched-tower update must be a
+    drop-in replacement — same param/opt-state trajectories as the per-tower
+    path up to f32 summation order, same pytree structure (checkpoints)."""
+
+    def test_fused_matches_unfused_training(self):
+        import dataclasses as dc
+
+        env = TrifingerEnv(
+            config={"num_instances": 16, "command_mode": "torque",
+                    "asymmetric_obs": True, "sim": {"substeps": 2}},
+            verbose=False,
+        )
+        base = PPOConfig(horizon=4, minibatch_size=32, mini_epochs=2,
+                         cv_minibatch_size=32, cv_mini_epochs=2)
+        cfg_f = dc.replace(base, fused_update=True, fused_rollout=True)
+        cfg_u = dc.replace(base, fused_update=False, fused_rollout=False)
+        ts0 = init_train_state(cfg_u, env.static, env.params,
+                               jax.random.PRNGKey(0))
+        step = jax.jit(train_iteration, static_argnums=(0, 1))
+        ts_f, ts_u = ts0, ts0
+        for _ in range(3):
+            ts_f, m_f = step(cfg_f, env.static, env.params, ts_f)
+            ts_u, m_u = step(cfg_u, env.static, env.params, ts_u)
+
+        assert (jax.tree_util.tree_structure(ts_f)
+                == jax.tree_util.tree_structure(ts_u))
+        for a, b in zip(jax.tree.leaves(ts_f.ac_params),
+                        jax.tree.leaves(ts_u.ac_params)):
+            assert np.allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+        for a, b in zip(jax.tree.leaves(ts_f.cv_params),
+                        jax.tree.leaves(ts_u.cv_params)):
+            assert np.allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+        for a, b in zip(jax.tree.leaves(ts_f.ac_opt_state),
+                        jax.tree.leaves(ts_u.ac_opt_state)):
+            assert np.allclose(np.asarray(a, dtype=np.float64),
+                               np.asarray(b, dtype=np.float64), atol=5e-5)
+        # the adaptive-lr trajectory is decision-for-decision identical
+        assert float(ts_f.lr) == float(ts_u.lr)
+        for k in ("losses/total", "losses/cv_loss", "info/kl"):
+            assert abs(float(m_f[k]) - float(m_u[k])) < 1e-4 * (
+                1.0 + abs(float(m_u[k])))

@@ -44,7 +44,10 @@ def test_d4_policy_solves_goals(tmp_path):
     """The shipped flagship policy must still solve >=90% of issued goals at
     full difficulty (strict tolerances, deterministic actions)."""
     ckpt = os.path.abspath(os.path.join(POLICY_DIR, "d4_best_curriculum"))
-    runner = _make_runner(tmp_path, "trifinger_difficulty_4_curriculum", 32)
+    # this policy was trained under the round-1..4 cylinder arena — pin it
+    # explicitly so the eval is independent of the build's default profile
+    runner = _make_runner(tmp_path, "trifinger_difficulty_4_curriculum", 32,
+                          ("gym.arena.profile=cylinder",))
     runner.restore(ckpt)
     env = runner.wrap_env()  # applies FrameStack if trained with frames>1
     policy = runner.make_policy(deterministic=True, curriculum_level=1.0)
@@ -83,7 +86,8 @@ def test_d4_policy_solves_goals(tmp_path):
     [
         ("d4_cone_best_curriculum", "trifinger_difficulty_4_curriculum",
          ("gym.arena.profile=cone",)),
-        ("d4_dr_best_curriculum", "trifinger_difficulty_4_curriculum_dr", ()),
+        ("d4_dr_best_curriculum", "trifinger_difficulty_4_curriculum_dr",
+         ("gym.arena.profile=cylinder",)),
     ],
 )
 def test_shipped_policy_schema_smoke(tmp_path, name, gym, overrides):
