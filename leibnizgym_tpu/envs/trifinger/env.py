@@ -457,11 +457,15 @@ def build_params(static: EnvStatic, object_dims: CuboidalObject,
 def _scene_with_arena(scene: SceneParams, arena: dict) -> SceneParams:
     """Apply the gym `arena` config onto the scene's wall profile.
 
-    ``arena.profile: "cone"`` selects the measured reference boundary
-    (high_table_boundary.stl: cylinder r=0.1945 below z=0.034, flaring at
-    dr/dz=0.577 above — scripts/asset_tools.py deviation, PARITY.md);
-    explicit ``wall_radius`` / ``wall_slope`` / ``wall_knee_z`` keys
-    override individual values. Default = the round-1..3 straight cylinder."""
+    ``arena.profile: "cone"`` (the DEFAULT since round 5) selects the
+    measured reference boundary (high_table_boundary.stl: cylinder r=0.1945
+    below z=0.034, flaring at dr/dz=0.577 above — scripts/asset_tools.py
+    deviation, PARITY.md: max 2.3 mm from the real mesh vs up to 21 mm in
+    the object band for the plain cylinder); ``arena.profile: "cylinder"``
+    keeps the round-1..4 straight cylinder for continuity with earlier
+    published curves and the cylinder-trained shipped policies. Explicit
+    ``wall_radius`` / ``wall_slope`` / ``wall_knee_z`` keys override
+    individual values."""
     known = {"profile", "wall_radius", "wall_slope", "wall_knee_z"}
     unknown = set(arena) - known
     if unknown:
@@ -470,7 +474,7 @@ def _scene_with_arena(scene: SceneParams, arena: dict) -> SceneParams:
         raise ValueError(
             f"unknown arena config key(s) {sorted(unknown)}; valid: {sorted(known)}"
         )
-    profile = str(arena.get("profile", "cylinder"))
+    profile = str(arena.get("profile", "cone"))
     if profile == "cone":
         scene = scene.replace(
             wall_radius=jnp.asarray(tf_model.WALL_CONE_BASE_RADIUS),
