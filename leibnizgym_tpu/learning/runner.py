@@ -431,8 +431,18 @@ class Runner:
                 return True
             return False
 
+        # max_epochs is a TOTAL budget across restarts: a supervisor resume
+        # restores ts.epoch from the checkpoint, and the loop continues from
+        # there instead of training max_epochs MORE epochs (pre-round-5 the
+        # count was per-process, so every auto-restart extended the run).
+        start_epoch = int(self.ts.epoch)
+        if start_epoch >= epochs:
+            print_notify(
+                f"resumed at epoch {start_epoch} >= max_epochs {epochs}; "
+                "nothing to train"
+            )
         try:
-            for epoch in range(1, epochs + 1):
+            for epoch in range(start_epoch + 1, epochs + 1):
                 if cfg.nan_telemetry:
                     # keep the pre-epoch state so a nan halt can dump the exact
                     # reproducer (replayed by scripts/nan_replay.py)
@@ -468,7 +478,8 @@ class Runner:
         self.save("final", wait=True)
         total = time.time() - t_start
         print_notify(
-            f"Training done: {epochs} epochs, {int(self.ts.frame)} frames, "
+            f"Training done: epoch {int(self.ts.epoch)}/{epochs}, "
+            f"{int(self.ts.frame)} frames, "
             f"{total:.0f}s, best ep reward {best_reward:.1f}"
         )
         return self.game_rewards.get_mean()

@@ -177,6 +177,22 @@ class TestTrainLoopPipelining:
         last = [ts_e for name, ts_e, _ in calls["saves"] if name == "last"]
         assert last == [1, 2, 3, 4, 5, 6]  # tail drained, in order, once each
 
+    def test_max_epochs_is_cumulative_across_resume(self, tmp_path):
+        """A supervisor restart restores ts.epoch from the checkpoint; the
+        loop must finish the REMAINING budget, not train max_epochs more
+        epochs (the pre-round-5 per-process count silently extended every
+        auto-restarted run)."""
+        cfg = _loop_cfg()
+        r, calls = _stub_runner(tmp_path, cfg, lambda e: _metrics(e))
+        r.ts = _StubTS(7)  # as restored from a checkpoint
+        r.train(max_epochs=10)
+        assert calls["iters"] == 3
+        # fully-consumed budget: train() is a no-op
+        r2, calls2 = _stub_runner(tmp_path, cfg, lambda e: _metrics(e))
+        r2.ts = _StubTS(10)
+        r2.train(max_epochs=10)
+        assert calls2["iters"] == 0
+
     def test_nan_halt_saves_first_bad_epoch_and_stops(self, tmp_path):
         cfg = _loop_cfg()
         bad = 5
