@@ -231,6 +231,18 @@ GYM_PRESETS: Dict[str, Dict[str, Any]] = {
             "domain_randomization": _D3_DR_EXTRA["domain_randomization"],
         })
     ),
+    # moving-goal task: the 6-DoF curriculum with goal_movement.rotation
+    # active at the reference's default rate (trifinger_env.py:69-74,
+    # rate_magnitude=0.5 = stdev of the goal's angular velocity; integrated
+    # per step as in __update_goal_movement_pre, :1267-1284). The reference
+    # ships this config surface but never trained it.
+    "trifinger_difficulty_4_curriculum_rotating": _difficulty(
+        4, _merged(_D4_CURRICULUM_EXTRA, {
+            "goal_movement": {
+                "rotation": {"activate": True, "rate_magnitude": 0.5},
+            },
+        })
+    ),
     # RRC phase-3 cuboid object (reference asset
     # objects/urdf/cube_multicolor_rrc_phase3.urdf: 2x8x2 cm box,
     # density 500) on the difficulty-1 task — exercises the per-axis

@@ -204,6 +204,24 @@ class TestConfigurableObject:
         assert np.all(z < 0.015), "phase-3 cuboid should rest near z=0.01"
         assert bool(jnp.isfinite(obs).all())
 
+    def test_rotating_goal_preset(self):
+        """trifinger_difficulty_4_curriculum_rotating = the 6-DoF curriculum
+        with goal_movement.rotation active at the reference's default rate
+        (trifinger_env.py:69-74); the curriculum's agent-side overrides must
+        still propagate through the merged preset."""
+        from leibnizgym_tpu.config.presets import parse_cli, update_cfg
+
+        cfg = update_cfg(parse_cli(
+            ["gym=trifinger_difficulty_4_curriculum_rotating",
+             "args.num_envs=4"]
+        ))
+        rot = cfg["gym"]["goal_movement"]["rotation"]
+        assert rot["activate"] is True
+        assert rot["rate_magnitude"] == 0.5
+        assert cfg["gym"]["goal_curriculum"]["success_gated"] is True
+        assert cfg["rlg"]["params"]["config"]["log_std_min"] == -1.6
+        assert cfg["rlg"]["params"]["config"]["lr_threshold"] == 0.016
+
 
 class TestSuccessTermination:
     def test_goal_reset_on_success(self):
