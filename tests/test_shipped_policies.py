@@ -88,6 +88,10 @@ def test_d4_policy_solves_goals(tmp_path):
          ("gym.arena.profile=cone",)),
         ("d4_dr_best_curriculum", "trifinger_difficulty_4_curriculum_dr",
          ("gym.arena.profile=cylinder",)),
+        # round-5 flagship: trained under the build's shipped defaults
+        # (measured cone arena) + full DR — no overrides needed
+        ("d4_dr_cone_best_curriculum", "trifinger_difficulty_4_curriculum_dr",
+         ()),
     ],
 )
 def test_shipped_policy_schema_smoke(tmp_path, name, gym, overrides):
