@@ -599,6 +599,11 @@ def train_iteration(
         and not cfg.nan_telemetry
         and cv_idxs is not None
         and cv_idxs.shape == ac_idxs.shape
+        # equal idx SHAPES are not enough: one side can be time-sliced row
+        # indices (minibatch (k_rows, n, W)) while the other is flat sample
+        # indices (minibatch (mb, W)) — the stacked forward would get
+        # rank-mismatched inputs; fall back to the per-tower path instead
+        and time_sliced == cv_time_sliced
     )
     if fused_towers_ok:
         sargs = (obs_width, static.state_dim, cfg.units, static.action_dim)

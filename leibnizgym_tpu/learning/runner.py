@@ -323,7 +323,10 @@ class Runner:
             """Handle one epoch's fetched metrics; True = stop training."""
             nonlocal prev_ts
             self._last_progress = time.time()
-            if epoch == 1 and watchdog_timeout:
+            # first PROCESSED epoch (start_epoch+1 on a supervisor resume,
+            # not 1): compile is done, drop the first-epoch watchdog floor
+            # back to the user's timeout
+            if epoch == start_epoch + 1 and watchdog_timeout:
                 self._watchdog_timeout = watchdog_timeout
             frame = int(metrics["info/frames"])
             # per-episode returns (rl_games game_rewards parity: each finished
@@ -437,10 +440,15 @@ class Runner:
         # count was per-process, so every auto-restart extended the run).
         start_epoch = int(self.ts.epoch)
         if start_epoch >= epochs:
+            # a completed run re-invoked with the same budget: do NOT fall
+            # through to save("final") — that would overwrite the finished
+            # run's final checkpoint with the just-restored state
             print_notify(
                 f"resumed at epoch {start_epoch} >= max_epochs {epochs}; "
                 "nothing to train"
             )
+            self._stop_watchdog()
+            return self.game_rewards.get_mean()
         try:
             for epoch in range(start_epoch + 1, epochs + 1):
                 if cfg.nan_telemetry:

@@ -23,12 +23,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(__file__))
 from run_summary import load_scalars  # noqa: E402
-
-SURFACE = "#fcfcfb"
-TEXT = "#0b0b0b"
-TEXT_2 = "#52514e"
-GRID = "#e6e5e2"
-SERIES = ["#2a78d6", "#eb6834", "#1baf7a", "#eda100"]  # fixed order, never cycled
+from plot_training import GRID, SERIES, SURFACE, TEXT, TEXT_2  # noqa: E402
 
 PANELS = [
     ("Curriculum level", "curriculum/level_target", "level (0-1)"),
@@ -37,15 +32,21 @@ PANELS = [
 
 
 def merged_scalars(logdir: str, tags):
-    """Scalars merged across ALL event files (supervisor restarts), by step."""
-    out = {t: [] for t in tags}
+    """Scalars merged across ALL event files (supervisor restarts), by step.
+
+    A restart resumes from a checkpoint that lags the crash by up to
+    save_frequency epochs, so the resumed event file RE-LOGS those steps
+    with different values; keep only the newest file's point per step
+    (later files win) or the overlap draws as a sawtooth."""
+    out = {t: {} for t in tags}
     for f in sorted(glob.glob(
             os.path.join(logdir, "**", "summaries", "events.*"),
-            recursive=True)):
+            recursive=True), key=os.path.getmtime):
         data, _ = load_scalars(f, tags)
         for t in tags:
-            out[t].extend(data.get(t) or [])
-    return {t: sorted(v) for t, v in out.items()}
+            for step, val in data.get(t) or []:
+                out[t][step] = val  # later event files overwrite
+    return {t: sorted(d.items()) for t, d in out.items()}
 
 
 def main() -> int:
@@ -61,6 +62,9 @@ def main() -> int:
     import matplotlib.pyplot as plt
 
     labels = args.labels or [os.path.basename(d.rstrip("/")) for d in args.logdirs]
+    if len(args.logdirs) > len(SERIES):
+        print(f"warning: {len(args.logdirs)} runs > {len(SERIES)} series "
+              "colors — colors will repeat", file=sys.stderr)
     tags = [t for _, t, _ in PANELS]
     runs = [merged_scalars(d, tags) for d in args.logdirs]
 

@@ -187,11 +187,24 @@ class TestTrainLoopPipelining:
         r.ts = _StubTS(7)  # as restored from a checkpoint
         r.train(max_epochs=10)
         assert calls["iters"] == 3
-        # fully-consumed budget: train() is a no-op
+        # fully-consumed budget: train() is a no-op AND must not overwrite
+        # the finished run's final checkpoint with the just-restored state
         r2, calls2 = _stub_runner(tmp_path, cfg, lambda e: _metrics(e))
         r2.ts = _StubTS(10)
         r2.train(max_epochs=10)
         assert calls2["iters"] == 0
+        assert calls2["saves"] == []
+
+    def test_watchdog_tightens_on_resumed_run(self, tmp_path):
+        """After a supervisor resume the first PROCESSED epoch is
+        start_epoch+1, not 1 — the watchdog must still drop from the
+        first-epoch compile floor back to the caller's timeout."""
+        cfg = _loop_cfg()
+        r, calls = _stub_runner(tmp_path, cfg, lambda e: _metrics(e))
+        r.ts = _StubTS(7)  # as restored from a checkpoint
+        r.train(max_epochs=10, watchdog_timeout=10.0)
+        assert r._watchdog_timeout == 10.0  # not stuck at the 1800s floor
+        assert r._watchdog_armed is False
 
     def test_nan_halt_saves_first_bad_epoch_and_stops(self, tmp_path):
         cfg = _loop_cfg()
