@@ -125,7 +125,7 @@ class TestRollout:
 
 @pytest.mark.slow  # full-env XLA compile
 class TestGoalSampling:
-    @pytest.mark.parametrize("difficulty", [-1, 1, 2, 3, 4])
+    @pytest.mark.parametrize("difficulty", [-1, 1, 2, 3, 4, 5, 6])
     def test_difficulties(self, difficulty):
         e = TrifingerEnv(
             config={"num_instances": 16, "task_difficulty": difficulty,
@@ -143,8 +143,15 @@ class TestGoalSampling:
         elif difficulty == 3:
             assert goal[:, 2].min() >= 0.0325 - 1e-6
             assert goal[:, 2].max() <= 0.1 + 1e-6
-        elif difficulty == 4:
+        elif difficulty in (4, 5):
             # fully random orientation: some quats far from identity
+            # (reference trifinger_env.py:1231: difficulty 5 == 4)
+            assert np.abs(goal[:, 3:6]).max() > 0.1
+        elif difficulty == 6:
+            # fixed aerial center position + random orientation
+            # (reference trifinger_env.py:1238-1243)
+            assert np.allclose(goal[:, 0:2], 0.0, atol=1e-6)
+            assert np.allclose(goal[:, 2], 0.0325 + 0.05, atol=1e-5)
             assert np.abs(goal[:, 3:6]).max() > 0.1
 
 
