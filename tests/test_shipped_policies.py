@@ -92,6 +92,10 @@ def test_d4_policy_solves_goals(tmp_path):
         # (measured cone arena) + full DR — no overrides needed
         ("d4_dr_cone_best_curriculum", "trifinger_difficulty_4_curriculum_dr",
          ()),
+        # round-5 moving-goal task, trained from scratch (reference
+        # goal_movement.rotation surface, trifinger_env.py:69-74)
+        ("d4_rotating_best_curriculum",
+         "trifinger_difficulty_4_curriculum_rotating", ()),
     ],
 )
 def test_shipped_policy_schema_smoke(tmp_path, name, gym, overrides):
